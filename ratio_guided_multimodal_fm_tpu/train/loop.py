@@ -1,0 +1,78 @@
+"""Epoch drivers: best/periodic checkpoints + early stopping.
+
+Patience semantics mirror ref train_flow.py:84-117 (best-loss tracking,
+save_every periodic saves, stop after `patience` non-improving epochs).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ratio_guided_multimodal_fm_tpu.core.prng import RNG
+from ratio_guided_multimodal_fm_tpu.train.checkpoint import save_checkpoint
+
+
+class EarlyStopper:
+    """Best-loss early stopping (ref train_flow.py:84-117)."""
+
+    def __init__(self, patience: int = 10):
+        self.patience = patience
+        self.best = float("inf")
+        self.counter = 0
+
+    def update(self, loss: float) -> bool:
+        """Returns True if this is a new best."""
+        if loss < self.best:
+            self.best = loss
+            self.counter = 0
+            return True
+        self.counter += 1
+        return False
+
+    @property
+    def should_stop(self) -> bool:
+        return self.counter >= self.patience
+
+
+def train_flow_matching_epochs(
+    state,
+    train_step: Callable,
+    data_iter_fn: Callable[[int], Iterable],  # epoch -> iterable of x1 batches
+    epochs: int,
+    rng: RNG,
+    best_path: Optional[str] = None,
+    periodic_path_fn: Optional[Callable[[int], str]] = None,
+    save_every: int = 10,
+    patience: int = 10,
+    log_fn: Callable[[str], None] = print,
+):
+    """Generic FM training driver. Returns (state, best_loss, history)."""
+    stopper = EarlyStopper(patience)
+    history = []
+    for epoch in range(epochs):
+        t0 = time.time()
+        losses = []
+        for x1 in data_iter_fn(epoch):
+            state, loss = train_step(state, x1, rng.next())
+            losses.append(loss)
+        avg = float(np.mean([jax.device_get(l) for l in losses]))
+        dt = time.time() - t0
+        steps_per_sec = len(losses) / max(dt, 1e-9)
+        history.append({"epoch": epoch + 1, "loss": avg,
+                        "steps_per_sec": steps_per_sec})
+        log_fn(f"Epoch {epoch+1}/{epochs} - Loss: {avg:.4f} "
+               f"({steps_per_sec:.1f} steps/s)")
+
+        if stopper.update(avg):
+            if best_path:
+                save_checkpoint(best_path, state.params)
+                log_fn(f"  -> Saved best model: {best_path}")
+        if periodic_path_fn and (epoch + 1) % save_every == 0:
+            save_checkpoint(periodic_path_fn(epoch + 1), state.params)
+        if stopper.should_stop:
+            log_fn(f"\nEarly stopping after {epoch+1} epochs (patience={patience})")
+            break
+    return state, stopper.best, history

@@ -1,0 +1,171 @@
+"""Jitted train steps (donated state, optax).
+
+Parity targets:
+* FM step = ref flow_utils.py:103-156 loop body (t~U, interpolate, MSE, Adam).
+* Ratio step = ref trainer.py:26-56 (masked real/fake loss, Adam with
+  clip-by-global-norm 1.0).
+* Classifier step = ref train_classifiers_mnist_svhn.py:63-113 (CE + Adam).
+
+TPU-first: each step is ONE jitted function with the state donated, so
+optimizer updates happen in-place in HBM; batch comes in sharded over the
+'data' mesh axis and XLA inserts the gradient all-reduce automatically when
+params are replicated.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+from ratio_guided_multimodal_fm_tpu.flow.cfm import interpolate
+from ratio_guided_multimodal_fm_tpu.flow.losses import get_ratio_loss
+
+
+class FMTrainState(train_state.TrainState):
+    pass
+
+
+class RatioTrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def make_fm_train_step(model, *, donate: bool = True) -> Callable:
+    """Build step(state, x1, key) -> (state, loss) for a velocity model."""
+
+    def step(state: FMTrainState, x1: jax.Array, key: jax.Array):
+        kt, kn, kd = jax.random.split(key, 3)
+
+        def loss_fn(params):
+            t = jax.random.uniform(kt, (x1.shape[0],), jnp.float32)
+            x_t, u = interpolate(kn, x1, t)
+            v = model.apply({"params": params}, x_t, t,
+                            deterministic=False, rngs={"dropout": kd})
+            return jnp.mean((v.astype(jnp.float32) - u.astype(jnp.float32)) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_ratio_train_step(
+    model,
+    loss_type: str = "disc",
+    has_batch_stats: bool = False,
+    donate: bool = True,
+    **loss_kwargs,
+) -> Callable:
+    """Build step(state, x, y, is_real, key) -> (state, metrics)."""
+    loss_fn_inner = get_ratio_loss(loss_type, **loss_kwargs)
+
+    def step(state: RatioTrainState, x, y, is_real, key):
+        def loss_fn(params):
+            variables = {"params": params}
+            kwargs = dict(deterministic=False)
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                scores, mutated = model.apply(
+                    variables, x, y, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": key}, **kwargs)
+                new_stats = mutated["batch_stats"]
+            else:
+                scores = model.apply(variables, x, y, rngs={"dropout": key},
+                                     **kwargs)
+                new_stats = None
+            loss, metrics = loss_fn_inner(scores, is_real)
+            return loss, (metrics, new_stats)
+
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        if has_batch_stats:
+            state = state.replace(batch_stats=new_stats)
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_ratio_eval_step(model, loss_type: str = "disc",
+                         has_batch_stats: bool = False, **loss_kwargs):
+    """Eval twin of the ratio step (ref trainer.py:83-119): no grad/update."""
+    loss_fn_inner = get_ratio_loss(loss_type, **loss_kwargs)
+
+    def step(state: RatioTrainState, x, y, is_real):
+        variables = {"params": state.params}
+        if has_batch_stats:
+            variables["batch_stats"] = state.batch_stats
+            scores = model.apply(variables, x, y, train=False,
+                                 deterministic=True)
+        else:
+            scores = model.apply(variables, x, y, deterministic=True)
+        _, metrics = loss_fn_inner(scores, is_real)
+        return metrics
+
+    return jax.jit(step)
+
+
+def make_classifier_train_step(model, has_batch_stats: bool = False,
+                               donate: bool = True) -> Callable:
+    """Build step(state, images, labels, key) -> (state, (loss, acc))."""
+
+    def step(state, images, labels, key):
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                logits, mutated = model.apply(
+                    variables, images, train=True, deterministic=False,
+                    mutable=["batch_stats"], rngs={"dropout": key})
+                new_stats = mutated["batch_stats"]
+            else:
+                logits = model.apply(variables, images, deterministic=False,
+                                     rngs={"dropout": key})
+                new_stats = None
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), labels).mean()
+            acc = (logits.argmax(-1) == labels).mean()
+            return loss, (acc, new_stats)
+
+        (loss, (acc, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        if has_batch_stats and new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
+        return state, (loss, acc)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def create_fm_state(model, key, sample_shape, lr: float = 1e-4) -> FMTrainState:
+    """Init params + Adam (ref lr default 1e-4, train_flow.py:36-37)."""
+    x = jnp.zeros((1,) + tuple(sample_shape), jnp.float32)
+    t = jnp.zeros((1,), jnp.float32)
+    variables = model.init(key, x, t)
+    return FMTrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=optax.adam(lr))
+
+
+def create_ratio_state(model, key, x_shape, y_shape, lr: float = 1e-4,
+                       clip_norm: float = 1.0,
+                       has_batch_stats: bool = False) -> RatioTrainState:
+    """Init params + clip(1.0)+Adam (ref trainer.py:53 grad clip)."""
+    x = jnp.zeros((1,) + tuple(x_shape), jnp.float32)
+    y = jnp.zeros((1,) + tuple(y_shape), jnp.float32)
+    variables = model.init(key, x, y)
+    tx = optax.chain(optax.clip_by_global_norm(clip_norm), optax.adam(lr))
+    return RatioTrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables.get("batch_stats"))
+
+
+def create_classifier_state(model, key, sample_shape, lr: float = 1e-3):
+    """Classifier lr default 1e-3 (ref train_classifier.py:77)."""
+    x = jnp.zeros((1,) + tuple(sample_shape), jnp.float32)
+    variables = model.init(key, x)
+    return RatioTrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=optax.adam(lr),
+        batch_stats=variables.get("batch_stats"))
