@@ -1,0 +1,70 @@
+"""Shared CLI plumbing: argument groups, model factories, apply-fn builders.
+
+Flag surfaces mirror the reference scripts exactly (SURVEY §5.6); `--device`
+is accepted for compatibility but JAX owns device placement (the TPU is the
+default backend; JAX_PLATFORMS=cpu forces CPU).
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ratio_guided_multimodal_fm_tpu.models import (
+    FlowMatchingModel,
+    FlowMatchingUNet,
+    FlowMatchingUNetMNIST,
+    FlowMatchingUNetSVHN,
+    RatioEstimatorMNIST,
+    RatioEstimatorMNISTSVHN,
+)
+from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
+    checkpoint_exists,
+    load_params,
+)
+
+
+def add_common_flags(p: argparse.ArgumentParser, seed_default: int = 42):
+    p.add_argument("--device", type=str, default="tpu",
+                   help="Accepted for reference-CLI compatibility; JAX "
+                        "selects the backend (set JAX_PLATFORMS to override)")
+    p.add_argument("--seed", type=int, default=seed_default,
+                   help="Random seed for reproducibility")
+    p.add_argument("--data_root", type=str, default="./data",
+                   help="Dataset root (IDX/.mat files; synthetic fallback)")
+
+
+def fm_model(kind: str, img_size: int = 28):
+    """'--model unet|original' factory (ref sample.py:132-134)."""
+    if kind == "unet":
+        return FlowMatchingUNet()
+    return FlowMatchingModel()
+
+
+def velocity_fn(model, params):
+    """Closure (x, t) -> v with fixed params (inference, no dropout)."""
+    return lambda x, t: model.apply({"params": params}, x, t)
+
+
+def ratio_log_fn(model, variables):
+    """Closure (x, y) -> log r̂ for guidance."""
+    def fn(x, y):
+        return model.apply(variables, x, y, method=model.log_ratio)
+    return fn
+
+
+def load_params_or_exit(path: str, template, what: str, hint: str):
+    if not checkpoint_exists(path):
+        raise SystemExit(
+            f"ERROR: {what} checkpoint not found: {path}\n{hint}")
+    return load_params(path, template)
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def batch_to_jnp(batch: dict) -> dict:
+    return {k: jnp.asarray(v) for k, v in batch.items()}

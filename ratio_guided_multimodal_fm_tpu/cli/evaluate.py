@@ -1,0 +1,139 @@
+"""Evaluate coherence of generated pairs over (method × strength) sweep.
+
+Flag-parity with ref src/evaluate.py:93-116; adds FID (BASELINE.json target)
+and the 'grad' method. JSON output path matches:
+outputs/evaluation_results.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ratio_guided_multimodal_fm_tpu.cli.common import (
+    add_common_flags,
+    fm_model,
+    load_params_or_exit,
+    ratio_log_fn,
+    velocity_fn,
+)
+from ratio_guided_multimodal_fm_tpu.core.prng import set_seed
+from ratio_guided_multimodal_fm_tpu.data.mnist_dataset import get_classifier_dataloader
+from ratio_guided_multimodal_fm_tpu.eval.coherence import evaluate_coherence
+from ratio_guided_multimodal_fm_tpu.eval.fid import compute_fid
+from ratio_guided_multimodal_fm_tpu.models import MNISTClassifier, RatioEstimatorMNIST
+from ratio_guided_multimodal_fm_tpu.sample import sample_bimodal_guided
+from ratio_guided_multimodal_fm_tpu.train.checkpoint import get_checkpoint_path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Evaluate guided sampling")
+    parser.add_argument("--transform_type", type=str, default="rotate90")
+    parser.add_argument("--guidance_methods", nargs="+",
+                        default=["none", "mc_feng"])
+    parser.add_argument("--guidance_strengths", nargs="+", type=float,
+                        default=[0.0, 0.5, 1.0])
+    parser.add_argument("--mc_batch_size", type=int, default=256)
+    parser.add_argument("--loss_type", type=str, default="disc")
+    parser.add_argument("--num_samples", type=int, default=500)
+    parser.add_argument("--num_steps", type=int, default=100)
+    parser.add_argument("--model", type=str, default="unet",
+                        choices=["unet", "original"])
+    parser.add_argument("--fid", action="store_true",
+                        help="Also compute classifier-FID vs real data")
+    add_common_flags(parser)
+    args = parser.parse_args(argv)
+
+    key = set_seed(args.seed)
+    print(f"Random seed: {args.seed}")
+
+    # Eval classifier
+    clf = MNISTClassifier()
+    clf_init = clf.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1)))
+    clf_params = load_params_or_exit(
+        os.path.join("checkpoints", "mnist_classifier"),
+        clf_init["params"], "Classifier",
+        "Please train classifier first: python -m "
+        "ratio_guided_multimodal_fm_tpu.cli.train_classifier")
+    classify = jax.jit(lambda x: clf.apply({"params": clf_params}, x))
+
+    model = fm_model(args.model)
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1)),
+                      jnp.zeros((1,)))
+    path_x = get_checkpoint_path("flow", "x", None, "best")
+    path_y = get_checkpoint_path("flow", "y", args.transform_type, "best")
+    params_x = load_params_or_exit(path_x, init["params"], "FM_x", "")
+    params_y = load_params_or_exit(path_y, init["params"], "FM_y", "")
+    print("  Loaded FM_x and FM_y")
+
+    real_images = None
+    if args.fid:
+        loader = get_classifier_dataloader(batch_size=args.num_samples,
+                                           train=False, root=args.data_root)
+        real_images = next(iter(loader))["x"]
+
+    results = []
+    for method in args.guidance_methods:
+        for strength in args.guidance_strengths:
+            if method == "none" and strength > 0:
+                continue
+            print(f"\n{'='*60}\nEvaluating: method={method}, gamma={strength}\n{'='*60}")
+
+            log_ratio = None
+            if method != "none":
+                ratio = RatioEstimatorMNIST(loss_type=args.loss_type)
+                r_init = ratio.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 28, 28, 1)),
+                                    jnp.zeros((1, 28, 28, 1)))
+                path_r = get_checkpoint_path("ratio", args.loss_type,
+                                             args.transform_type, "best")
+                try:
+                    r_params = load_params_or_exit(path_r, r_init["params"],
+                                                   "Ratio estimator", "")
+                except SystemExit:
+                    print(f"ERROR: Ratio estimator not found: {path_r}")
+                    continue
+                log_ratio = ratio_log_fn(ratio, {"params": r_params})
+
+            print(f"  Sampling {args.num_samples} pairs...")
+            samples_x, samples_y = sample_bimodal_guided(
+                velocity_fn(model, params_x), velocity_fn(model, params_y),
+                log_ratio_fn=log_ratio, guidance_method=method,
+                guidance_strength=strength, num_samples=args.num_samples,
+                num_steps=args.num_steps, mc_batch_size=args.mc_batch_size,
+                x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key)
+
+            metrics = evaluate_coherence(samples_x, samples_y, classify,
+                                         args.transform_type)
+            result = {
+                "method": method,
+                "guidance_strength": strength,
+                "transform_type": args.transform_type,
+                "coherence_acc": metrics["coherence_acc"],
+                "num_samples": metrics["num_samples"],
+            }
+            if args.fid and real_images is not None:
+                result["fid_x"] = compute_fid(clf, {"params": clf_params},
+                                              real_images,
+                                              np.asarray(samples_x))
+            results.append(result)
+            print(f"  -> Coherence accuracy: {metrics['coherence_acc']:.3f}")
+
+    os.makedirs("outputs", exist_ok=True)
+    output_path = "outputs/evaluation_results.json"
+    with open(output_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"\n{'='*60}\nResults saved to: {output_path}\n{'='*60}")
+
+    print("\nSummary:")
+    for r in results:
+        print(f"  {r['method']:20s} gamma={r['guidance_strength']:.1f} "
+              f"-> coherence={r['coherence_acc']:.3f}")
+
+
+if __name__ == "__main__":
+    main()

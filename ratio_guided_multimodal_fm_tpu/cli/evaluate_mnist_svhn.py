@@ -1,0 +1,133 @@
+"""Evaluate MNIST-SVHN guided sampling: dual-classifier coherence (+FID).
+
+Flag-parity with ref src/evaluate_mnist_svhn.py:60-77; JSON to
+outputs/mnist_svhn/evaluation_results.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ratio_guided_multimodal_fm_tpu.cli.common import (
+    add_common_flags,
+    load_params_or_exit,
+    velocity_fn,
+)
+from ratio_guided_multimodal_fm_tpu.cli.sample_mnist_svhn import (
+    load_mnist_svhn_models,
+)
+from ratio_guided_multimodal_fm_tpu.core.prng import set_seed
+from ratio_guided_multimodal_fm_tpu.data.mnist_svhn import (
+    get_mnist32_flow_dataloader,
+    get_svhn_flow_dataloader,
+)
+from ratio_guided_multimodal_fm_tpu.eval.coherence import evaluate_coherence_dual
+from ratio_guided_multimodal_fm_tpu.eval.fid import compute_fid
+from ratio_guided_multimodal_fm_tpu.models import MNISTClassifier32, SVHNClassifier
+from ratio_guided_multimodal_fm_tpu.sample import sample_bimodal_guided
+from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Evaluate MNIST-SVHN sampling")
+    parser.add_argument("--guidance_methods", nargs="+",
+                        default=["none", "mc_feng"])
+    parser.add_argument("--guidance_strengths", nargs="+", type=float,
+                        default=[0.0, 0.5, 1.0])
+    parser.add_argument("--mc_batch_size", type=int, default=256)
+    parser.add_argument("--loss_type", type=str, default="disc")
+    parser.add_argument("--num_samples", type=int, default=500)
+    parser.add_argument("--num_steps", type=int, default=100)
+    parser.add_argument("--fid", action="store_true",
+                        help="Also compute classifier-FID vs real data")
+    add_common_flags(parser)
+    args = parser.parse_args(argv)
+
+    key = set_seed(args.seed)
+    print(f"Random seed: {args.seed}")
+
+    # classifiers
+    clf_m = MNISTClassifier32()
+    init_m = clf_m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    params_clf_m = load_params_or_exit(
+        "checkpoints/mnist32_classifier", init_m["params"],
+        "MNIST32 classifier",
+        "Train first: python -m "
+        "ratio_guided_multimodal_fm_tpu.cli.train_classifiers_mnist_svhn")
+    clf_s = SVHNClassifier()
+    path_s = "checkpoints/svhn_classifier"
+    if not checkpoint_exists(path_s):
+        raise SystemExit(f"ERROR: SVHN classifier not found: {path_s}")
+    tree_s = load_checkpoint(path_s)
+    vars_s = {"params": tree_s["params"]}
+    if "batch_stats" in tree_s:
+        vars_s["batch_stats"] = tree_s["batch_stats"]
+
+    classify_m = jax.jit(lambda x: clf_m.apply({"params": params_clf_m}, x))
+    classify_s = jax.jit(lambda y: clf_s.apply(vars_s, y, deterministic=True))
+
+    need_ratio = any(m != "none" for m in args.guidance_methods)
+    fm_m, params_m, fm_s, params_s, log_ratio = load_mnist_svhn_models(
+        args.loss_type, need_ratio)
+
+    real_m = real_s = None
+    if args.fid:
+        n = min(args.num_samples, 1000)
+        real_m = next(iter(get_mnist32_flow_dataloader(n, False,
+                                                       args.data_root)))["x"]
+        real_s = next(iter(get_svhn_flow_dataloader(n, False,
+                                                    args.data_root)))["x"]
+
+    results = []
+    for method in args.guidance_methods:
+        for strength in args.guidance_strengths:
+            if method == "none" and strength > 0:
+                continue
+            print(f"\n{'='*60}\nEvaluating: method={method}, "
+                  f"gamma={strength}\n{'='*60}")
+            print(f"  Sampling {args.num_samples} pairs...")
+            samples_x, samples_y = sample_bimodal_guided(
+                velocity_fn(fm_m, params_m), velocity_fn(fm_s, params_s),
+                log_ratio_fn=log_ratio if method != "none" else None,
+                guidance_method=method, guidance_strength=strength,
+                num_samples=args.num_samples, num_steps=args.num_steps,
+                mc_batch_size=args.mc_batch_size,
+                x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=key)
+
+            metrics = evaluate_coherence_dual(samples_x, samples_y,
+                                              classify_m, classify_s)
+            result = {
+                "method": method,
+                "guidance_strength": strength,
+                "coherence_acc": metrics["coherence_acc"],
+                "num_samples": metrics["num_samples"],
+            }
+            if args.fid:
+                result["fid_mnist"] = compute_fid(
+                    clf_m, {"params": params_clf_m}, real_m,
+                    np.asarray(samples_x))
+            results.append(result)
+            print(f"  -> Coherence accuracy: {metrics['coherence_acc']:.3f}")
+
+    os.makedirs("outputs/mnist_svhn", exist_ok=True)
+    output_path = "outputs/mnist_svhn/evaluation_results.json"
+    with open(output_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"\nResults saved to: {output_path}")
+
+    print("\nSummary:")
+    for r in results:
+        print(f"  {r['method']:20s} gamma={r['guidance_strength']:.1f} "
+              f"-> coherence={r['coherence_acc']:.3f}")
+
+
+if __name__ == "__main__":
+    main()

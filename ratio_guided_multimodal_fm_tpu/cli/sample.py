@@ -1,0 +1,108 @@
+"""Generate (x, y) pairs via guided sampling (MNIST transforms).
+
+Flag-parity with ref src/sample.py:113-137 plus the 'grad' guidance method
+the reference README documents but never wired (README.md:159-164).
+Output PNG path matches: outputs/samples_{method}_gamma{γ}_{transform}.png.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from ratio_guided_multimodal_fm_tpu.cli.common import (
+    add_common_flags,
+    fm_model,
+    load_params_or_exit,
+    ratio_log_fn,
+    velocity_fn,
+)
+from ratio_guided_multimodal_fm_tpu.core.prng import set_seed
+from ratio_guided_multimodal_fm_tpu.eval.viz import visualize_pairs
+from ratio_guided_multimodal_fm_tpu.models import RatioEstimatorMNIST
+from ratio_guided_multimodal_fm_tpu.sample import sample_bimodal_guided
+from ratio_guided_multimodal_fm_tpu.train.checkpoint import get_checkpoint_path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Sample bimodal pairs")
+    parser.add_argument("--transform_type", type=str, default="rotate90")
+    parser.add_argument("--guidance_method", type=str, default="none",
+                        choices=["none", "mc_feng", "grad"],
+                        help="none=independent, mc_feng=Feng MC guidance, "
+                             "grad=gradient log-ratio")
+    parser.add_argument("--guidance_strength", type=float, default=0.5)
+    parser.add_argument("--mc_batch_size", type=int, default=128)
+    parser.add_argument("--loss_type", type=str, default="disc")
+    parser.add_argument("--num_samples", type=int, default=64)
+    parser.add_argument("--num_steps", type=int, default=100)
+    parser.add_argument("--model", type=str, default="unet",
+                        choices=["unet", "original"])
+    add_common_flags(parser)
+    args = parser.parse_args(argv)
+
+    key = set_seed(args.seed)
+    print(f"Random seed: {args.seed}")
+    print(f"Backend: {jax.default_backend()}")
+
+    model = fm_model(args.model)
+    init = model.init(jax.random.PRNGKey(0),
+                      jax.numpy.zeros((1, 28, 28, 1)), jax.numpy.zeros((1,)))
+    template = init["params"]
+
+    path_x = get_checkpoint_path("flow", "x", None, "best")
+    path_y = get_checkpoint_path("flow", "y", args.transform_type, "best")
+    params_x = load_params_or_exit(
+        path_x, template, "FM_x",
+        "Please train FM_x first: python -m "
+        "ratio_guided_multimodal_fm_tpu.cli.train_flow --modality x")
+    params_y = load_params_or_exit(
+        path_y, template, "FM_y",
+        f"Please train FM_y first: python -m "
+        f"ratio_guided_multimodal_fm_tpu.cli.train_flow --modality y "
+        f"--transform_type {args.transform_type}")
+    print(f"  Loaded FM_x from: {path_x}")
+    print(f"  Loaded FM_y from: {path_y}")
+
+    log_ratio = None
+    if args.guidance_method != "none":
+        ratio = RatioEstimatorMNIST(loss_type=args.loss_type)
+        r_init = ratio.init(jax.random.PRNGKey(0),
+                            jax.numpy.zeros((1, 28, 28, 1)),
+                            jax.numpy.zeros((1, 28, 28, 1)))
+        path_r = get_checkpoint_path("ratio", args.loss_type,
+                                     args.transform_type, "best")
+        r_params = load_params_or_exit(
+            path_r, r_init["params"], "Ratio estimator",
+            f"Please train it first: python -m "
+            f"ratio_guided_multimodal_fm_tpu.cli.train_ratio "
+            f"--loss_type {args.loss_type} --transform_type {args.transform_type}")
+        log_ratio = ratio_log_fn(ratio, {"params": r_params})
+        print(f"  Loaded ratio estimator from: {path_r}")
+
+    print(f"\nSampling {args.num_samples} pairs...")
+    print(f"  Guidance method: {args.guidance_method}")
+    if args.guidance_method != "none":
+        print(f"  Guidance strength: {args.guidance_strength}")
+        print(f"  MC batch size: {args.mc_batch_size}")
+    print(f"  Integration steps: {args.num_steps}")
+
+    samples_x, samples_y = sample_bimodal_guided(
+        velocity_fn(model, params_x), velocity_fn(model, params_y),
+        log_ratio_fn=log_ratio,
+        guidance_method=args.guidance_method,
+        guidance_strength=args.guidance_strength,
+        num_samples=args.num_samples, num_steps=args.num_steps,
+        mc_batch_size=args.mc_batch_size,
+        x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key)
+
+    os.makedirs("outputs", exist_ok=True)
+    save_path = (f"outputs/samples_{args.guidance_method}"
+                 f"_gamma{args.guidance_strength}_{args.transform_type}.png")
+    visualize_pairs(samples_x, samples_y, save_path, args.transform_type)
+    print("\nSampling complete!")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Generate MNIST-SVHN pairs via guided sampling.
+
+Flag-parity with ref src/sample_mnist_svhn.py:247-265 (+ 'grad' method).
+Outputs outputs/mnist_svhn/samples_{method}_gamma{γ}.png.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ratio_guided_multimodal_fm_tpu.cli.common import (
+    add_common_flags,
+    load_params_or_exit,
+    velocity_fn,
+)
+from ratio_guided_multimodal_fm_tpu.core.prng import set_seed
+from ratio_guided_multimodal_fm_tpu.eval.viz import visualize_pairs_mnist_svhn
+from ratio_guided_multimodal_fm_tpu.models import (
+    FlowMatchingUNetMNIST,
+    FlowMatchingUNetSVHN,
+    RatioEstimatorMNISTSVHN,
+)
+from ratio_guided_multimodal_fm_tpu.sample import sample_bimodal_guided
+from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+)
+
+
+def load_mnist_svhn_models(loss_type: str, need_ratio: bool):
+    """Load FM_mnist32 + FM_svhn (+ ratio) from reference-named checkpoints."""
+    fm_mnist = FlowMatchingUNetMNIST(img_size=32)
+    fm_svhn = FlowMatchingUNetSVHN()
+    init_m = fm_mnist.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)),
+                           jnp.zeros((1,)))
+    init_s = fm_svhn.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                          jnp.zeros((1,)))
+
+    params_m = load_params_or_exit(
+        "checkpoints/flow_mnist32_best", init_m["params"], "FM_mnist",
+        "Please train first: python -m "
+        "ratio_guided_multimodal_fm_tpu.cli.train_flow_mnist32")
+    params_s = load_params_or_exit(
+        "checkpoints/flow_svhn_best", init_s["params"], "FM_svhn",
+        "Please train first: python -m "
+        "ratio_guided_multimodal_fm_tpu.cli.train_flow_svhn")
+
+    ratio = log_ratio = None
+    if need_ratio:
+        ratio = RatioEstimatorMNISTSVHN(loss_type=loss_type)
+        path_r = f"checkpoints/ratio_{loss_type}_mnist_svhn_best"
+        if not checkpoint_exists(path_r):
+            raise SystemExit(
+                f"ERROR: Ratio estimator checkpoint not found: {path_r}\n"
+                "Please train first: python -m "
+                "ratio_guided_multimodal_fm_tpu.cli.train_ratio_mnist_svhn")
+        tree = load_checkpoint(path_r)
+        variables = {"params": tree["params"]}
+        if "batch_stats" in tree:
+            variables["batch_stats"] = tree["batch_stats"]
+
+        def log_ratio(x, y):
+            return ratio.apply(variables, x, y, method=ratio.log_ratio)
+
+    return fm_mnist, params_m, fm_svhn, params_s, log_ratio
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Sample MNIST-SVHN pairs")
+    parser.add_argument("--guidance_method", type=str, default="none",
+                        choices=["none", "mc_feng", "grad"])
+    parser.add_argument("--guidance_strength", type=float, default=0.5)
+    parser.add_argument("--mc_batch_size", type=int, default=256)
+    parser.add_argument("--loss_type", type=str, default="disc")
+    parser.add_argument("--num_samples", type=int, default=32)
+    parser.add_argument("--num_steps", type=int, default=100)
+    add_common_flags(parser)
+    args = parser.parse_args(argv)
+
+    key = set_seed(args.seed)
+    print(f"Random seed: {args.seed}")
+    print(f"Backend: {jax.default_backend()}")
+
+    fm_m, params_m, fm_s, params_s, log_ratio = load_mnist_svhn_models(
+        args.loss_type, args.guidance_method != "none")
+
+    print(f"\nSampling {args.num_samples} pairs "
+          f"(method={args.guidance_method}, gamma={args.guidance_strength})")
+    samples_x, samples_y = sample_bimodal_guided(
+        velocity_fn(fm_m, params_m), velocity_fn(fm_s, params_s),
+        log_ratio_fn=log_ratio,
+        guidance_method=args.guidance_method,
+        guidance_strength=args.guidance_strength,
+        num_samples=args.num_samples, num_steps=args.num_steps,
+        mc_batch_size=args.mc_batch_size,
+        x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=key)
+
+    os.makedirs("outputs/mnist_svhn", exist_ok=True)
+    save_path = (f"outputs/mnist_svhn/samples_{args.guidance_method}"
+                 f"_gamma{args.guidance_strength}.png")
+    visualize_pairs_mnist_svhn(samples_x, samples_y, save_path)
+    print("\nSampling complete!")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Train an independent FM model for modality x or y (MNIST transforms).
+
+Flag-parity with ref src/train_flow.py:26-49; checkpoint naming
+flow_{modality}[_{transform}]_{best|epochN} via the shared path helper.
+
+Usage:
+    python -m ratio_guided_multimodal_fm_tpu.cli.train_flow --modality x --epochs 50
+    python -m ratio_guided_multimodal_fm_tpu.cli.train_flow --modality y --transform_type rotate90
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from ratio_guided_multimodal_fm_tpu.cli.common import (
+    add_common_flags,
+    count_params,
+    fm_model,
+)
+from ratio_guided_multimodal_fm_tpu.core.prng import RNG, set_seed
+from ratio_guided_multimodal_fm_tpu.data.mnist_dataset import get_flow_dataloader
+from ratio_guided_multimodal_fm_tpu.train.checkpoint import get_checkpoint_path
+from ratio_guided_multimodal_fm_tpu.train.loop import train_flow_matching_epochs
+from ratio_guided_multimodal_fm_tpu.train.steps import (
+    create_fm_state,
+    make_fm_train_step,
+)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train Flow Matching model")
+    parser.add_argument("--modality", type=str, required=True, choices=["x", "y"],
+                        help="Modality to train (x=standard, y=transformed)")
+    parser.add_argument("--transform_type", type=str, default="rotate90",
+                        help="Transformation type for y modality")
+    parser.add_argument("--epochs", type=int, default=50)
+    parser.add_argument("--batch_size", type=int, default=128)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--save_every", type=int, default=10,
+                        help="Save checkpoint every N epochs")
+    parser.add_argument("--patience", type=int, default=10,
+                        help="Early stopping patience")
+    parser.add_argument("--model", type=str, default="unet",
+                        choices=["unet", "original"])
+    add_common_flags(parser)
+    args = parser.parse_args(argv)
+
+    set_seed(args.seed)
+    print(f"Random seed: {args.seed}")
+    print(f"Backend: {jax.default_backend()}")
+
+    transform_for_loader = args.transform_type if args.modality == "y" else None
+    loader = get_flow_dataloader(transform_type=transform_for_loader,
+                                 batch_size=args.batch_size, train=True,
+                                 root=args.data_root, seed=args.seed)
+    print(f"Training modality: {args.modality}")
+    if args.modality == "y":
+        print(f"Transform type: {args.transform_type}")
+
+    model = fm_model(args.model)
+    state = create_fm_state(model, jax.random.PRNGKey(args.seed), (28, 28, 1),
+                            lr=args.lr)
+    print(f"Model parameters: {count_params(state.params):,}")
+
+    step = make_fm_train_step(model)
+    rng = RNG(args.seed + 1)
+    modality = args.modality
+
+    def data_iter(epoch):
+        for batch in loader:
+            yield jnp.asarray(batch[modality])
+
+    best_path = get_checkpoint_path("flow", args.modality, transform_for_loader,
+                                    "best")
+    train_flow_matching_epochs(
+        state, step, data_iter, args.epochs, rng,
+        best_path=best_path,
+        periodic_path_fn=lambda e: get_checkpoint_path(
+            "flow", args.modality, transform_for_loader, f"epoch{e}"),
+        save_every=args.save_every, patience=args.patience)
+
+    print("\nTraining complete!")
+
+
+if __name__ == "__main__":
+    main()

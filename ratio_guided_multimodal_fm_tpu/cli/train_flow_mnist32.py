@@ -1,0 +1,107 @@
+"""Train FM on MNIST-32 (experiment 2, modality x).
+
+Flag-parity with ref src/train_flow_mnist32.py:64-81 including --resume;
+checkpoints flow_mnist32_{best|epochN} in full-dict format for resume.
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ratio_guided_multimodal_fm_tpu.cli.common import add_common_flags, count_params
+from ratio_guided_multimodal_fm_tpu.core.prng import RNG, set_seed
+from ratio_guided_multimodal_fm_tpu.data.mnist_svhn import get_mnist32_flow_dataloader
+from ratio_guided_multimodal_fm_tpu.models import FlowMatchingUNetMNIST
+from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
+    load_checkpoint,
+    save_train_checkpoint,
+)
+from ratio_guided_multimodal_fm_tpu.train.loop import EarlyStopper
+from ratio_guided_multimodal_fm_tpu.train.steps import (
+    create_fm_state,
+    make_fm_train_step,
+)
+
+
+def run_flow_training(model, sample_shape, loader, args, ckpt_prefix: str):
+    """Shared driver for the mnist32/svhn flow scripts (--resume support)."""
+    state = create_fm_state(model, jax.random.PRNGKey(args.seed),
+                            sample_shape, lr=args.lr)
+    print(f"Model parameters: {count_params(state.params):,}")
+
+    start_epoch, best_loss = 0, float("inf")
+    if args.resume:
+        print(f"Resuming from checkpoint: {args.resume}")
+        ckpt = load_checkpoint(args.resume)
+        if isinstance(ckpt, dict) and "params" in ckpt:
+            from ratio_guided_multimodal_fm_tpu.train.checkpoint import load_params
+            state = state.replace(params=load_params(args.resume, state.params)
+                                  if "opt_state" not in ckpt else state.params)
+            # full restore when opt_state present
+            if "opt_state" in ckpt:
+                restored = load_checkpoint(args.resume, target={
+                    "params": state.params, "opt_state": state.opt_state,
+                    "epoch": np.int64(0), "best_loss": np.float64(0)})
+                state = state.replace(params=restored["params"],
+                                      opt_state=restored["opt_state"])
+                start_epoch = int(restored["epoch"])
+                best_loss = float(restored["best_loss"])
+        else:
+            from ratio_guided_multimodal_fm_tpu.train.checkpoint import load_params
+            state = state.replace(params=load_params(args.resume, state.params))
+        print(f"  Resumed at epoch {start_epoch}, best_loss={best_loss:.4f}")
+
+    step = make_fm_train_step(model)
+    rng = RNG(args.seed + 1)
+    stopper = EarlyStopper(args.patience)
+    stopper.best = best_loss
+
+    for epoch in range(start_epoch, args.epochs):
+        losses = []
+        for batch in loader:
+            state, loss = step(state, jnp.asarray(batch["x"]), rng.next())
+            losses.append(loss)
+        avg = float(np.mean(jax.device_get(losses)))
+        print(f"Epoch {epoch+1}/{args.epochs} - Loss: {avg:.4f}")
+
+        if stopper.update(avg):
+            path = f"checkpoints/{ckpt_prefix}_best"
+            save_train_checkpoint(path, state, epoch + 1, stopper.best)
+            print(f"  -> Saved best model: {path}")
+        if (epoch + 1) % args.save_every == 0:
+            path = f"checkpoints/{ckpt_prefix}_epoch{epoch+1}"
+            save_train_checkpoint(path, state, epoch + 1, stopper.best)
+            print(f"  -> Saved checkpoint: {path}")
+        if stopper.should_stop:
+            print(f"\nEarly stopping after {epoch+1} epochs "
+                  f"(patience={args.patience})")
+            break
+    print("\nTraining complete!")
+    print(f"Best loss: {stopper.best:.4f}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train FM on MNIST 32x32")
+    parser.add_argument("--epochs", type=int, default=50)
+    parser.add_argument("--batch_size", type=int, default=128)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--save_every", type=int, default=10)
+    parser.add_argument("--patience", type=int, default=10)
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Path to checkpoint to resume from")
+    add_common_flags(parser)
+    args = parser.parse_args(argv)
+
+    set_seed(args.seed)
+    print(f"Random seed: {args.seed}")
+    loader = get_mnist32_flow_dataloader(args.batch_size, True, args.data_root,
+                                         seed=args.seed)
+    model = FlowMatchingUNetMNIST(img_size=32)
+    run_flow_training(model, (32, 32, 1), loader, args, "flow_mnist32")
+
+
+if __name__ == "__main__":
+    main()

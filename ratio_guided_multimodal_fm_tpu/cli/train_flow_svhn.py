@@ -1,0 +1,41 @@
+"""Train FM on SVHN (experiment 2, modality y).
+
+Flag-parity with ref src/train_flow_svhn.py:84-101 including --resume;
+checkpoints flow_svhn_{best|epochN}. The reference needed a rank-flexible
+CFM subclass for RGB (train_flow_svhn.py:58-81); our interpolant is
+rank-agnostic so no special case exists.
+"""
+from __future__ import annotations
+
+import argparse
+
+from ratio_guided_multimodal_fm_tpu.cli.common import add_common_flags
+from ratio_guided_multimodal_fm_tpu.cli.train_flow_mnist32 import run_flow_training
+from ratio_guided_multimodal_fm_tpu.core.prng import set_seed
+from ratio_guided_multimodal_fm_tpu.data.mnist_svhn import get_svhn_flow_dataloader
+from ratio_guided_multimodal_fm_tpu.models import FlowMatchingUNetSVHN
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train FM on SVHN")
+    parser.add_argument("--epochs", type=int, default=50)
+    parser.add_argument("--batch_size", type=int, default=128)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--save_every", type=int, default=10)
+    parser.add_argument("--patience", type=int, default=10)
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Path to checkpoint to resume from "
+                             "(e.g., checkpoints/flow_svhn_best)")
+    add_common_flags(parser)
+    args = parser.parse_args(argv)
+
+    set_seed(args.seed)
+    print(f"Random seed: {args.seed}")
+    loader = get_svhn_flow_dataloader(args.batch_size, True, args.data_root,
+                                      seed=args.seed)
+    model = FlowMatchingUNetSVHN()
+    run_flow_training(model, (32, 32, 3), loader, args, "flow_svhn")
+
+
+if __name__ == "__main__":
+    main()

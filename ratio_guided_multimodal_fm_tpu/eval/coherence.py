@@ -1,0 +1,43 @@
+"""Coherence metric: P(label(x) == label(y)).
+
+Parity with ref evaluate.py:56-90 (single classifier + inverse transform on
+y) and evaluate_mnist_svhn.py:28-57 (dual classifiers, no transform).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ratio_guided_multimodal_fm_tpu.data.transforms import inverse_transform
+
+
+def evaluate_coherence(samples_x, samples_y, classify_fn: Callable,
+                       transform_type: str = "rotate90") -> Dict:
+    """Single-classifier coherence; y is inverse-transformed first so the
+    classifier sees both modalities in the same orientation
+    (ref evaluate.py:74-76)."""
+    y_inv = inverse_transform(transform_type, samples_y)
+    pred_x = np.asarray(jnp.argmax(classify_fn(samples_x), axis=-1))
+    pred_y = np.asarray(jnp.argmax(classify_fn(y_inv), axis=-1))
+    return {
+        "coherence_acc": float((pred_x == pred_y).mean()),
+        "num_samples": int(len(pred_x)),
+        "pred_x": pred_x,
+        "pred_y": pred_y,
+    }
+
+
+def evaluate_coherence_dual(samples_x, samples_y, classify_x: Callable,
+                            classify_y: Callable) -> Dict:
+    """Dual-classifier coherence for cross-modality pairs
+    (ref evaluate_mnist_svhn.py:28-57)."""
+    pred_x = np.asarray(jnp.argmax(classify_x(samples_x), axis=-1))
+    pred_y = np.asarray(jnp.argmax(classify_y(samples_y), axis=-1))
+    return {
+        "coherence_acc": float((pred_x == pred_y).mean()),
+        "num_samples": int(len(pred_x)),
+        "pred_x": pred_x,
+        "pred_y": pred_y,
+    }

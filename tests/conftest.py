@@ -1,12 +1,17 @@
 """Test config: force CPU with 8 fake devices (the JAX-native way to test
-multi-chip sharding without hardware, SURVEY §4)."""
+multi-chip sharding without hardware, SURVEY §4).
+
+NOTE: this environment's axon site hook pre-imports jax at interpreter
+startup, so env vars set here are too late — use jax.config.update instead
+(works because backends initialize lazily, after conftest runs).
+"""
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
