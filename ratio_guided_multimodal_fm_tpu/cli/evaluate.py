@@ -26,7 +26,10 @@ from ratio_guided_multimodal_fm_tpu.data.mnist_dataset import get_classifier_dat
 from ratio_guided_multimodal_fm_tpu.eval.coherence import evaluate_coherence
 from ratio_guided_multimodal_fm_tpu.eval.fid import compute_fid
 from ratio_guided_multimodal_fm_tpu.models import MNISTClassifier, RatioEstimatorMNIST
-from ratio_guided_multimodal_fm_tpu.sample import sample_bimodal_guided
+from ratio_guided_multimodal_fm_tpu.sample import (
+    generate_mc_set,
+    sample_bimodal_guided,
+)
 from ratio_guided_multimodal_fm_tpu.train.checkpoint import get_checkpoint_path
 
 
@@ -77,6 +80,7 @@ def main(argv=None):
         real_images = next(iter(loader))["x"]
 
     results = []
+    mc_cache = {}
     for method in args.guidance_methods:
         for strength in args.guidance_strengths:
             if method == "none" and strength > 0:
@@ -99,13 +103,27 @@ def main(argv=None):
                     continue
                 log_ratio = ratio_log_fn(ratio, {"params": r_params})
 
+            # MC set is strength-independent: generate once per method and
+            # reuse across the gamma sweep (saves ~70% per config, exact
+            # under the fixed seed the reference uses anyway).
+            mc_set = None
+            if method == "mc_feng":
+                if method not in mc_cache:
+                    mc_cache[method] = generate_mc_set(
+                        velocity_fn(model, params_x),
+                        velocity_fn(model, params_y), log_ratio, key,
+                        args.mc_batch_size, (28, 28, 1), (28, 28, 1),
+                        args.num_steps)
+                mc_set = mc_cache[method]
+
             print(f"  Sampling {args.num_samples} pairs...")
             samples_x, samples_y = sample_bimodal_guided(
                 velocity_fn(model, params_x), velocity_fn(model, params_y),
                 log_ratio_fn=log_ratio, guidance_method=method,
                 guidance_strength=strength, num_samples=args.num_samples,
                 num_steps=args.num_steps, mc_batch_size=args.mc_batch_size,
-                x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key)
+                x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key,
+                mc_set=mc_set)
 
             metrics = evaluate_coherence(samples_x, samples_y, classify,
                                          args.transform_type)

@@ -29,7 +29,10 @@ from ratio_guided_multimodal_fm_tpu.data.mnist_svhn import (
 from ratio_guided_multimodal_fm_tpu.eval.coherence import evaluate_coherence_dual
 from ratio_guided_multimodal_fm_tpu.eval.fid import compute_fid
 from ratio_guided_multimodal_fm_tpu.models import MNISTClassifier32, SVHNClassifier
-from ratio_guided_multimodal_fm_tpu.sample import sample_bimodal_guided
+from ratio_guided_multimodal_fm_tpu.sample import (
+    generate_mc_set,
+    sample_bimodal_guided,
+)
 from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
     checkpoint_exists,
     load_checkpoint,
@@ -87,12 +90,23 @@ def main(argv=None):
                                                     args.data_root)))["x"]
 
     results = []
+    mc_cache = {}
     for method in args.guidance_methods:
         for strength in args.guidance_strengths:
             if method == "none" and strength > 0:
                 continue
             print(f"\n{'='*60}\nEvaluating: method={method}, "
                   f"gamma={strength}\n{'='*60}")
+            # MC set is strength-independent: one per method (see evaluate.py)
+            mc_set = None
+            if method == "mc_feng":
+                if method not in mc_cache:
+                    mc_cache[method] = generate_mc_set(
+                        velocity_fn(fm_m, params_m),
+                        velocity_fn(fm_s, params_s), log_ratio, key,
+                        args.mc_batch_size, (32, 32, 1), (32, 32, 3),
+                        args.num_steps)
+                mc_set = mc_cache[method]
             print(f"  Sampling {args.num_samples} pairs...")
             samples_x, samples_y = sample_bimodal_guided(
                 velocity_fn(fm_m, params_m), velocity_fn(fm_s, params_s),
@@ -100,7 +114,8 @@ def main(argv=None):
                 guidance_method=method, guidance_strength=strength,
                 num_samples=args.num_samples, num_steps=args.num_steps,
                 mc_batch_size=args.mc_batch_size,
-                x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=key)
+                x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=key,
+                mc_set=mc_set)
 
             metrics = evaluate_coherence_dual(samples_x, samples_y,
                                               classify_m, classify_s)

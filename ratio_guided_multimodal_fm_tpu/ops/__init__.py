@@ -1,0 +1,4 @@
+from ratio_guided_multimodal_fm_tpu.ops.guidance_pallas import (
+    fused_guidance_pallas,
+    pallas_available,
+)

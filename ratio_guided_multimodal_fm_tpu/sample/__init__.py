@@ -2,4 +2,5 @@ from ratio_guided_multimodal_fm_tpu.sample.guided import (
     sample_bimodal_guided,
     make_guided_sampler,
     mc_feng_guidance,
+    generate_mc_set,
 )
