@@ -44,6 +44,10 @@ def main(argv=None):
                         help="Early stopping patience")
     parser.add_argument("--model", type=str, default="unet",
                         choices=["unet", "original"])
+    parser.add_argument("--metrics_dir", type=str, default=None,
+                        help="Write JSONL epoch metrics here (observability)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of epoch 0")
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
@@ -74,12 +78,21 @@ def main(argv=None):
 
     best_path = get_checkpoint_path("flow", args.modality, transform_for_loader,
                                     "best")
-    train_flow_matching_epochs(
-        state, step, data_iter, args.epochs, rng,
-        best_path=best_path,
-        periodic_path_fn=lambda e: get_checkpoint_path(
-            "flow", args.modality, transform_for_loader, f"epoch{e}"),
-        save_every=args.save_every, patience=args.patience)
+    metrics_logger = None
+    if args.metrics_dir:
+        from ratio_guided_multimodal_fm_tpu.core.observability import MetricsLogger
+        metrics_logger = MetricsLogger(
+            args.metrics_dir, f"flow_{args.modality}")
+
+    from ratio_guided_multimodal_fm_tpu.core.observability import profile_trace
+    with profile_trace(args.profile_dir):
+        train_flow_matching_epochs(
+            state, step, data_iter, args.epochs, rng,
+            best_path=best_path,
+            periodic_path_fn=lambda e: get_checkpoint_path(
+                "flow", args.modality, transform_for_loader, f"epoch{e}"),
+            save_every=args.save_every, patience=args.patience,
+            metrics_logger=metrics_logger)
 
     print("\nTraining complete!")
 

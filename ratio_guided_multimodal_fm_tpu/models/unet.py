@@ -126,3 +126,12 @@ def FlowMatchingUNetSVHN(**kw) -> FlexibleUNet:
     """SVHN FM net (ref unet_flexible.py:280-291): in=3, ch=64, mult=(1,2,2)."""
     return FlexibleUNet(in_channels=3, img_size=32, model_channels=64,
                         channel_mult=(1, 2, 2), num_res_blocks=2, dropout=0.1, **kw)
+
+
+def FlowMatchingUNet64(in_channels: int = 3, **kw) -> FlexibleUNet:
+    """64x64 FM net for the CIFAR/CelebA-class stretch config
+    (BASELINE.json config #5 — no reference equivalent): ch=96,
+    mult=(1,2,2,4) → 64→32→16→8 spatial pyramid."""
+    return FlexibleUNet(in_channels=in_channels, img_size=64,
+                        model_channels=96, channel_mult=(1, 2, 2, 4),
+                        num_res_blocks=2, dropout=0.1, **kw)

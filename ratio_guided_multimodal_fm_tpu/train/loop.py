@@ -48,6 +48,7 @@ def train_flow_matching_epochs(
     save_every: int = 10,
     patience: int = 10,
     log_fn: Callable[[str], None] = print,
+    metrics_logger=None,
 ):
     """Generic FM training driver. Returns (state, best_loss, history)."""
     stopper = EarlyStopper(patience)
@@ -63,6 +64,9 @@ def train_flow_matching_epochs(
         steps_per_sec = len(losses) / max(dt, 1e-9)
         history.append({"epoch": epoch + 1, "loss": avg,
                         "steps_per_sec": steps_per_sec})
+        if metrics_logger is not None:
+            metrics_logger.log(epoch + 1, {"loss": avg,
+                                           "steps_per_sec": steps_per_sec})
         log_fn(f"Epoch {epoch+1}/{epochs} - Loss: {avg:.4f} "
                f"({steps_per_sec:.1f} steps/s)")
 
