@@ -34,13 +34,26 @@ def add_common_flags(p: argparse.ArgumentParser, seed_default: int = 42):
                    help="Random seed for reproducibility")
     p.add_argument("--data_root", type=str, default="./data",
                    help="Dataset root (IDX/.mat files; synthetic fallback)")
+    p.add_argument("--dtype", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="Model activation dtype (params stay f32; guidance "
+                        "weight math is always f32)")
 
 
-def fm_model(kind: str, img_size: int = 28):
+def dtype_of(args):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if getattr(args, "dtype", "f32") == "bf16" else jnp.float32
+
+
+def fm_model(kind: str, img_size: int = 28, dtype=None):
     """'--model unet|original' factory (ref sample.py:132-134)."""
+    import jax.numpy as jnp
+
+    kw = {"dtype": dtype} if dtype is not None else {}
     if kind == "unet":
-        return FlowMatchingUNet()
-    return FlowMatchingModel()
+        return FlowMatchingUNet(**kw)
+    return FlowMatchingModel(**kw)
 
 
 def velocity_fn(model, params):

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ratio_guided_multimodal_fm_tpu.cli.common import (
+    dtype_of,
     add_common_flags,
     fm_model,
     load_params_or_exit,
@@ -64,7 +65,7 @@ def main(argv=None):
         "ratio_guided_multimodal_fm_tpu.cli.train_classifier")
     classify = jax.jit(lambda x: clf.apply({"params": clf_params}, x))
 
-    model = fm_model(args.model)
+    model = fm_model(args.model, dtype=dtype_of(args))
     init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1)),
                       jnp.zeros((1,)))
     path_x = get_checkpoint_path("flow", "x", None, "best")

@@ -77,9 +77,10 @@ def main(argv=None):
     classify_m = jax.jit(lambda x: clf_m.apply({"params": params_clf_m}, x))
     classify_s = jax.jit(lambda y: clf_s.apply(vars_s, y, deterministic=True))
 
+    from ratio_guided_multimodal_fm_tpu.cli.common import dtype_of
     need_ratio = any(m != "none" for m in args.guidance_methods)
     fm_m, params_m, fm_s, params_s, log_ratio = load_mnist_svhn_models(
-        args.loss_type, need_ratio)
+        args.loss_type, need_ratio, dtype=dtype_of(args))
 
     real_m = real_s = None
     if args.fid:

@@ -12,6 +12,7 @@ import os
 import jax
 
 from ratio_guided_multimodal_fm_tpu.cli.common import (
+    dtype_of,
     add_common_flags,
     fm_model,
     load_params_or_exit,
@@ -46,7 +47,7 @@ def main(argv=None):
     print(f"Random seed: {args.seed}")
     print(f"Backend: {jax.default_backend()}")
 
-    model = fm_model(args.model)
+    model = fm_model(args.model, dtype=dtype_of(args))
     init = model.init(jax.random.PRNGKey(0),
                       jax.numpy.zeros((1, 28, 28, 1)), jax.numpy.zeros((1,)))
     template = init["params"]

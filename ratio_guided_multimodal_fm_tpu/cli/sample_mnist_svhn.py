@@ -30,10 +30,13 @@ from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
 )
 
 
-def load_mnist_svhn_models(loss_type: str, need_ratio: bool):
+def load_mnist_svhn_models(loss_type: str, need_ratio: bool, dtype=None):
     """Load FM_mnist32 + FM_svhn (+ ratio) from reference-named checkpoints."""
-    fm_mnist = FlowMatchingUNetMNIST(img_size=32)
-    fm_svhn = FlowMatchingUNetSVHN()
+    import jax.numpy as jnp
+
+    kw = {"dtype": dtype} if dtype is not None else {}
+    fm_mnist = FlowMatchingUNetMNIST(img_size=32, **kw)
+    fm_svhn = FlowMatchingUNetSVHN(**kw)
     init_m = fm_mnist.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)),
                            jnp.zeros((1,)))
     init_s = fm_svhn.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
@@ -50,7 +53,7 @@ def load_mnist_svhn_models(loss_type: str, need_ratio: bool):
 
     ratio = log_ratio = None
     if need_ratio:
-        ratio = RatioEstimatorMNISTSVHN(loss_type=loss_type)
+        ratio = RatioEstimatorMNISTSVHN(loss_type=loss_type, **kw)
         path_r = f"checkpoints/ratio_{loss_type}_mnist_svhn_best"
         if not checkpoint_exists(path_r):
             raise SystemExit(
@@ -84,8 +87,9 @@ def main(argv=None):
     print(f"Random seed: {args.seed}")
     print(f"Backend: {jax.default_backend()}")
 
+    from ratio_guided_multimodal_fm_tpu.cli.common import dtype_of
     fm_m, params_m, fm_s, params_s, log_ratio = load_mnist_svhn_models(
-        args.loss_type, args.guidance_method != "none")
+        args.loss_type, args.guidance_method != "none", dtype=dtype_of(args))
 
     print(f"\nSampling {args.num_samples} pairs "
           f"(method={args.guidance_method}, gamma={args.guidance_strength})")
