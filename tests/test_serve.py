@@ -1,0 +1,71 @@
+"""Serving layer: SamplerService + HTTP round-trip on a toy model (CPU)."""
+import base64
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import jax.numpy as jnp
+import numpy as np
+
+from ratio_guided_multimodal_fm_tpu.cli.serve import (
+    SamplerService,
+    make_handler,
+)
+
+
+def _service():
+    fm = lambda x, t: -0.1 * x
+    log_ratio = lambda x, y: -jnp.mean(
+        (x.reshape(x.shape[0], -1) - y.reshape(y.shape[0], -1)) ** 2, axis=1)
+    return SamplerService(fm, fm, log_ratio, (6, 6, 1), (6, 6, 1),
+                          batch_size=8, num_steps=4, mc_batch_size=8)
+
+
+def test_service_sample_and_padding():
+    svc = _service()
+    x, y, dt = svc.sample(3, "mc_feng", 0.5, seed=1)
+    assert x.shape == (3, 6, 6, 1)
+    assert np.isfinite(x).all()
+    # over-batch request clamps to batch_size
+    x, _, _ = svc.sample(100, "none", 0.0)
+    assert x.shape[0] == 8
+
+
+def test_http_roundtrip():
+    svc = _service()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/sample",
+            data=json.dumps({"num_samples": 4, "guidance_method": "mc_feng",
+                             "guidance_strength": 0.7}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["num_samples"] == 4
+        z = np.load(io.BytesIO(base64.b64decode(out["data_b64"])))
+        assert z["x"].shape == (4, 6, 6, 1)
+
+        # bad method → 400 with an explanatory error
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/sample",
+            data=json.dumps({"guidance_method": "bogus"}).encode(),
+            method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "bogus" in json.loads(e.read())["error"]
+    finally:
+        server.shutdown()
