@@ -15,10 +15,6 @@ import numpy as np
 from ratio_guided_multimodal_fm_tpu.models import (
     FlowMatchingModel,
     FlowMatchingUNet,
-    FlowMatchingUNetMNIST,
-    FlowMatchingUNetSVHN,
-    RatioEstimatorMNIST,
-    RatioEstimatorMNISTSVHN,
 )
 from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
     checkpoint_exists,

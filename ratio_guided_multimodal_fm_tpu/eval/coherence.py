@@ -5,7 +5,7 @@ y) and evaluate_mnist_svhn.py:28-57 (dual classifiers, no transform).
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax.numpy as jnp
 import numpy as np

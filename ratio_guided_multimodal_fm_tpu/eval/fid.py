@@ -8,8 +8,6 @@ intermediates, no model changes needed. Standard Fréchet formula:
 """
 from __future__ import annotations
 
-from typing import Callable
-
 import numpy as np
 
 

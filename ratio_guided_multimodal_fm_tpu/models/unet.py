@@ -16,7 +16,7 @@ Output conv is zero-initialized (ref unet_flexible.py:199-201).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

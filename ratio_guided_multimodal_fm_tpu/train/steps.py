@@ -13,12 +13,11 @@ params are replicated.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 from flax.training import train_state
 
 from ratio_guided_multimodal_fm_tpu.flow.cfm import interpolate
