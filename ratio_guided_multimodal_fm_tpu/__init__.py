@@ -24,4 +24,23 @@ TPU-first design notes (vs. the reference's single-GPU PyTorch):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if not _os.environ.get("RGMF_NO_COMPILE_CACHE"):
+    # Persistent XLA compilation cache: in this environment compiles go
+    # through a remote helper (~20s-10min for big programs); the cache cuts
+    # repeat CLI invocations to ~1s (measured 21.9s -> 1.4s). Opt out with
+    # RGMF_NO_COMPILE_CACHE=1.
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "RGMF_COMPILE_CACHE_DIR",
+        _os.path.expanduser("~/.cache/ratio_guided_multimodal_fm_tpu/jax_cache"))
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from ratio_guided_multimodal_fm_tpu.core.prng import set_seed  # noqa: F401
