@@ -38,12 +38,38 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, tree: Any) -> None:
-    """Save a pytree (params-only or full train dict) to `path`."""
+_ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_ckptr() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def save_checkpoint(path: str, tree: Any, async_save: bool = False) -> None:
+    """Save a pytree (params-only or full train dict) to `path`.
+
+    With async_save=True the save proceeds in a background thread (Orbax
+    AsyncCheckpointer) so the train loop keeps stepping — call
+    `wait_for_saves()` before process exit (SURVEY §5.3 plan).
+    """
     path = os.path.abspath(path)
+    if async_save:
+        ckptr = _async_ckptr()
+        ckptr.save(path, args=ocp.args.StandardSave(_to_host(tree)),
+                   force=True)
+        return
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, _to_host(tree), force=True)
     ckptr.wait_until_finished()
+
+
+def wait_for_saves() -> None:
+    """Block until all async checkpoint saves are durable."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def load_checkpoint(path: str, target: Any = None) -> Any:
@@ -54,6 +80,7 @@ def load_checkpoint(path: str, target: Any = None) -> Any:
     reference's tolerance of raw state_dicts vs full dicts
     (utils/__init__.py:25-51).
     """
+    wait_for_saves()  # never read a checkpoint that is still being written
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if target is None:
