@@ -47,6 +47,8 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=100)
     parser.add_argument("--model", type=str, default="unet",
                         choices=["unet", "original"])
+    parser.add_argument("--ratio_clip", type=float, default=None,
+                        help="Clip |log ratio| of MC samples")
     parser.add_argument("--fid", action="store_true",
                         help="Also compute classifier-FID vs real data")
     add_common_flags(parser)
@@ -114,7 +116,7 @@ def main(argv=None):
                         velocity_fn(model, params_x),
                         velocity_fn(model, params_y), log_ratio, key,
                         args.mc_batch_size, (28, 28, 1), (28, 28, 1),
-                        args.num_steps)
+                        args.num_steps, log_ratio_clip=args.ratio_clip)
                 mc_set = mc_cache[method]
 
             print(f"  Sampling {args.num_samples} pairs...")

@@ -49,6 +49,8 @@ def main(argv=None):
     parser.add_argument("--loss_type", type=str, default="disc")
     parser.add_argument("--num_samples", type=int, default=500)
     parser.add_argument("--num_steps", type=int, default=100)
+    parser.add_argument("--ratio_clip", type=float, default=None,
+                        help="Clip |log ratio| of MC samples")
     parser.add_argument("--fid", action="store_true",
                         help="Also compute classifier-FID vs real data")
     add_common_flags(parser)
@@ -106,7 +108,7 @@ def main(argv=None):
                         velocity_fn(fm_m, params_m),
                         velocity_fn(fm_s, params_s), log_ratio, key,
                         args.mc_batch_size, (32, 32, 1), (32, 32, 3),
-                        args.num_steps)
+                        args.num_steps, log_ratio_clip=args.ratio_clip)
                 mc_set = mc_cache[method]
             print(f"  Sampling {args.num_samples} pairs...")
             samples_x, samples_y = sample_bimodal_guided(

@@ -38,6 +38,9 @@ def main(argv=None):
     parser.add_argument("--loss_type", type=str, default="disc")
     parser.add_argument("--num_samples", type=int, default=64)
     parser.add_argument("--num_steps", type=int, default=100)
+    parser.add_argument("--ratio_clip", type=float, default=None,
+                        help="Clip |log ratio| of MC samples (guards against "
+                             "saturated-discriminator weight collapse)")
     parser.add_argument("--model", type=str, default="unet",
                         choices=["unet", "original"])
     add_common_flags(parser)
@@ -96,7 +99,8 @@ def main(argv=None):
         guidance_strength=args.guidance_strength,
         num_samples=args.num_samples, num_steps=args.num_steps,
         mc_batch_size=args.mc_batch_size,
-        x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key)
+        x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key,
+        log_ratio_clip=args.ratio_clip)
 
     os.makedirs("outputs", exist_ok=True)
     save_path = (f"outputs/samples_{args.guidance_method}"

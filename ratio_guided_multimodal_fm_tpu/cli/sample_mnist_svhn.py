@@ -80,6 +80,8 @@ def main(argv=None):
     parser.add_argument("--loss_type", type=str, default="disc")
     parser.add_argument("--num_samples", type=int, default=32)
     parser.add_argument("--num_steps", type=int, default=100)
+    parser.add_argument("--ratio_clip", type=float, default=None,
+                        help="Clip |log ratio| of MC samples")
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
@@ -100,7 +102,8 @@ def main(argv=None):
         guidance_strength=args.guidance_strength,
         num_samples=args.num_samples, num_steps=args.num_steps,
         mc_batch_size=args.mc_batch_size,
-        x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=key)
+        x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=key,
+        log_ratio_clip=args.ratio_clip)
 
     os.makedirs("outputs/mnist_svhn", exist_ok=True)
     save_path = (f"outputs/mnist_svhn/samples_{args.guidance_method}"

@@ -146,6 +146,13 @@ class GuidedSamplerConfig:
     mc_batch_size: int = 64
     x_shape: Tuple[int, ...] = (28, 28, 1)  # HWC, per-sample
     y_shape: Tuple[int, ...] = (28, 28, 1)
+    # Optional |log r̂| clip for the MC ratios. A saturated discriminator
+    # yields exp(log r̂) spanning many orders of magnitude; the importance
+    # weights then collapse onto a single MC sample and guided outputs
+    # degenerate (observed: coherence → 0, FID 2600+ at γ≥0.5 with a
+    # 12-epoch ratio net on well-trained flows). None = reference parity
+    # (no clip).
+    log_ratio_clip: Optional[float] = None
 
 
 def make_guided_sampler(
@@ -194,7 +201,11 @@ def make_guided_sampler(
                 # flows (ref flow_utils.py:231-258) and their terminal ratios.
                 mc_x1 = _euler(fm_x_fn, kmx, (cfg.mc_batch_size,) + cfg.x_shape)
                 mc_y1 = _euler(fm_y_fn, kmy, (cfg.mc_batch_size,) + cfg.y_shape)
-                mc_ratios = jnp.exp(log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32))
+                log_r = log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32)
+                if cfg.log_ratio_clip is not None:
+                    log_r = jnp.clip(log_r, -cfg.log_ratio_clip,
+                                     cfg.log_ratio_clip)
+                mc_ratios = jnp.exp(log_r)
 
         def step(carry, i):
             x_t, y_t = carry
@@ -238,6 +249,7 @@ def generate_mc_set(
     x_shape: Tuple[int, ...],
     y_shape: Tuple[int, ...],
     num_steps: int = 100,
+    log_ratio_clip: Optional[float] = None,
 ):
     """Generate the Monte-Carlo guidance set once: (mc_x1, mc_y1, mc_ratios).
 
@@ -252,8 +264,10 @@ def generate_mc_set(
                          num_steps)
     mc_y1 = euler_sample(fm_y_fn, kmy, (mc_batch_size,) + tuple(y_shape),
                          num_steps)
-    mc_ratios = jnp.exp(log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32))
-    return mc_x1, mc_y1, mc_ratios
+    log_r = log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32)
+    if log_ratio_clip is not None:
+        log_r = jnp.clip(log_r, -log_ratio_clip, log_ratio_clip)
+    return mc_x1, mc_y1, jnp.exp(log_r)
 
 
 def sample_bimodal_guided(
@@ -270,6 +284,7 @@ def sample_bimodal_guided(
     key: Optional[jax.Array] = None,
     return_diagnostics: bool = False,
     mc_set=None,
+    log_ratio_clip: Optional[float] = None,
 ):
     """Convenience wrapper with the reference's argument surface
     (flow_utils.py:178-213). Returns (samples_x, samples_y) NHWC in [-1,1]-ish.
@@ -283,6 +298,7 @@ def sample_bimodal_guided(
         mc_batch_size=mc_batch_size,
         x_shape=x_shape,
         y_shape=y_shape,
+        log_ratio_clip=log_ratio_clip,
     )
     sampler = jax.jit(
         make_guided_sampler(fm_x_fn, fm_y_fn, cfg, log_ratio_fn),
