@@ -1,0 +1,132 @@
+"""64x64 cross-modal stretch demo (BASELINE.json config #5).
+
+Trains a 64px RGB flow (FlowMatchingUNet64, ~12M params) and a 64px
+grayscale flow, a cross-channel ratio estimator, then runs guided sampling
+— exercising every layer of the framework at the stretch resolution using
+the library API directly (no CLI).
+
+Run:  python scripts/stretch64_demo.py [--epochs 6] [--n 4000]
+Outputs: outputs/stretch64/{samples_*.png, results.json}
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ratio_guided_multimodal_fm_tpu.core.prng import RNG, set_seed
+from ratio_guided_multimodal_fm_tpu.data.pipeline import Pairing, to_unit_range
+from ratio_guided_multimodal_fm_tpu.data.synthetic import generate_digits
+from ratio_guided_multimodal_fm_tpu.eval.viz import visualize_pairs_mnist_svhn
+from ratio_guided_multimodal_fm_tpu.models import FlexibleRatioEstimator
+from ratio_guided_multimodal_fm_tpu.models.unet import FlowMatchingUNet64
+from ratio_guided_multimodal_fm_tpu.sample import sample_bimodal_guided
+from ratio_guided_multimodal_fm_tpu.train.steps import (
+    create_fm_state,
+    create_ratio_state,
+    make_fm_train_step,
+    make_ratio_train_step,
+)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--n", type=int, default=4000)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--num_steps", type=int, default=60)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    set_seed(args.seed)
+    print("Generating 64px synthetic data...", flush=True)
+    x_u8, x_lbl = generate_digits("svhn", args.n, seed=10, px=64)   # RGB
+    y_u8, y_lbl = generate_digits("mnist", args.n, seed=11, px=64)  # gray
+    x_imgs, y_imgs = to_unit_range(x_u8), to_unit_range(y_u8)
+    pairing = Pairing(y_lbl)
+
+    dtype = jnp.bfloat16
+    fm_x = FlowMatchingUNet64(in_channels=3, dtype=dtype)
+    fm_y = FlowMatchingUNet64(in_channels=1, dtype=dtype)
+    sx = create_fm_state(fm_x, jax.random.PRNGKey(1), (64, 64, 3), lr=2e-4)
+    sy = create_fm_state(fm_y, jax.random.PRNGKey(2), (64, 64, 1), lr=2e-4)
+    n_params = sum(int(np.prod(a.shape))
+                   for a in jax.tree_util.tree_leaves(sx.params))
+    print(f"FM-64 RGB params: {n_params:,}", flush=True)
+
+    step_x = make_fm_train_step(fm_x)
+    step_y = make_fm_train_step(fm_y)
+    rng = RNG(args.seed + 1)
+    nb = args.n // args.batch_size
+    host = np.random.RandomState(0)
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        order = host.permutation(args.n)[: nb * args.batch_size]
+        lx = ly = 0.0
+        for b in range(nb):
+            idx = order[b * args.batch_size:(b + 1) * args.batch_size]
+            sx, loss_x = step_x(sx, jnp.asarray(x_imgs[idx]), rng.next())
+            sy, loss_y = step_y(sy, jnp.asarray(y_imgs[idx]), rng.next())
+            lx, ly = float(loss_x), float(loss_y)
+        print(f"epoch {epoch+1}/{args.epochs} loss_x={lx:.3f} "
+              f"loss_y={ly:.3f} ({time.time()-t0:.0f}s)", flush=True)
+
+    # cross-channel ratio estimator (3ch x 1ch at 64px)
+    ratio = FlexibleRatioEstimator(x_channels=3, y_channels=1, dtype=dtype)
+    rs = create_ratio_state(ratio, jax.random.PRNGKey(3), (64, 64, 3),
+                            (64, 64, 1), lr=1e-4)
+    rstep = make_ratio_train_step(ratio, "disc")
+    for epoch in range(max(2, args.epochs // 2)):
+        order = host.permutation(args.n)[: nb * args.batch_size]
+        for b in range(nb):
+            idx = order[b * args.batch_size:(b + 1) * args.batch_size]
+            lbl = x_lbl[idx]
+            is_real = host.rand(len(idx)) < 0.5
+            y_same = pairing.same_label(lbl, host)
+            y_diff, _ = pairing.different_label(lbl, host)
+            y_idx = np.where(is_real, y_same, y_diff)
+            rs, metrics = rstep(rs, jnp.asarray(x_imgs[idx]),
+                                jnp.asarray(y_imgs[y_idx]),
+                                jnp.asarray(is_real.astype(np.float32)),
+                                rng.next())
+        print(f"ratio epoch {epoch+1}: "
+              + " ".join(f"{k}={float(v):.3f}" for k, v in metrics.items()),
+              flush=True)
+
+    vx = lambda x, t: fm_x.apply({"params": sx.params}, x, t)
+    vy = lambda y, t: fm_y.apply({"params": sy.params}, y, t)
+    lr_fn = lambda a, b: ratio.apply({"params": rs.params}, a, b,
+                                     method=ratio.log_ratio)
+
+    os.makedirs("outputs/stretch64", exist_ok=True)
+    results = {}
+    for method, gamma in [("none", 0.0), ("mc_feng", 0.5)]:
+        t0 = time.time()
+        xs, ys = sample_bimodal_guided(
+            vx, vy, lr_fn if method != "none" else None,
+            guidance_method=method, guidance_strength=gamma,
+            num_samples=32, num_steps=args.num_steps, mc_batch_size=128,
+            x_shape=(64, 64, 3), y_shape=(64, 64, 1),
+            key=jax.random.PRNGKey(9), log_ratio_clip=3.0)
+        dt = time.time() - t0
+        path = f"outputs/stretch64/samples_{method}_gamma{gamma}.png"
+        visualize_pairs_mnist_svhn(xs, ys, path, num_cols=8, num_rows=4)
+        results[f"{method}_gamma{gamma}"] = {
+            "wall_sec": round(dt, 1),
+            "finite": bool(jnp.isfinite(xs).all() and jnp.isfinite(ys).all()),
+        }
+        print(f"{method} γ={gamma}: {dt:.1f}s -> {path}", flush=True)
+
+    with open("outputs/stretch64/results.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
