@@ -99,21 +99,37 @@ def main():
               + " ".join(f"{k}={float(v):.3f}" for k, v in metrics.items()),
               flush=True)
 
-    vx = lambda x, t: fm_x.apply({"params": sx.params}, x, t)
-    vy = lambda y, t: fm_y.apply({"params": sy.params}, y, t)
-    lr_fn = lambda a, b: ratio.apply({"params": rs.params}, a, b,
-                                     method=ratio.log_ratio)
+    from ratio_guided_multimodal_fm_tpu.sample.guided import (
+        GuidedSamplerConfig,
+        make_guided_sampler,
+    )
 
     os.makedirs("outputs/stretch64", exist_ok=True)
     results = {}
     for method, gamma in [("none", 0.0), ("mc_feng", 0.5)]:
-        t0 = time.time()
-        xs, ys = sample_bimodal_guided(
-            vx, vy, lr_fn if method != "none" else None,
+        cfg = GuidedSamplerConfig(
             guidance_method=method, guidance_strength=gamma,
-            num_samples=32, num_steps=args.num_steps, mc_batch_size=128,
-            x_shape=(64, 64, 3), y_shape=(64, 64, 1),
-            key=jax.random.PRNGKey(9), log_ratio_clip=3.0)
+            num_steps=args.num_steps, mc_batch_size=128,
+            x_shape=(64, 64, 3), y_shape=(64, 64, 1), log_ratio_clip=3.0)
+
+        # Params enter through jit ARGUMENTS (building the sampler inside
+        # the traced function): closing over a 37M-param tree would embed
+        # it as constants in the serialized module and blow the remote
+        # compiler's request limit (observed HTTP 413).
+        def run(key, px, py, pr):
+            sampler = make_guided_sampler(
+                lambda x, t: fm_x.apply({"params": px}, x, t),
+                lambda y, t: fm_y.apply({"params": py}, y, t),
+                cfg,
+                None if method == "none" else
+                (lambda a, b: ratio.apply({"params": pr}, a, b,
+                                          method=ratio.log_ratio)))
+            return sampler(key, 32)
+
+        t0 = time.time()
+        xs, ys, _ = jax.jit(run)(jax.random.PRNGKey(9), sx.params, sy.params,
+                                 rs.params)
+        xs, ys = jax.block_until_ready((xs, ys))
         dt = time.time() - t0
         path = f"outputs/stretch64/samples_{method}_gamma{gamma}.png"
         visualize_pairs_mnist_svhn(xs, ys, path, num_cols=8, num_rows=4)
