@@ -80,9 +80,10 @@ def main():
     # cross-channel ratio estimator (3ch x 1ch at 64px)
     ratio = FlexibleRatioEstimator(x_channels=3, y_channels=1, dtype=dtype)
     rs = create_ratio_state(ratio, jax.random.PRNGKey(3), (64, 64, 3),
-                            (64, 64, 1), lr=1e-4)
+                            (64, 64, 1), lr=3e-4)
     rstep = make_ratio_train_step(ratio, "disc")
-    for epoch in range(max(2, args.epochs // 2)):
+    # ~60 steps/epoch at n=4000: the ratio net needs >500 steps to separate
+    for epoch in range(max(8, args.epochs)):
         order = host.permutation(args.n)[: nb * args.batch_size]
         for b in range(nb):
             idx = order[b * args.batch_size:(b + 1) * args.batch_size]
