@@ -1,0 +1,107 @@
+"""Experiment-1 data module: MNIST ↔ transformed-MNIST pairs.
+
+This is the module the reference REPO IS MISSING (SURVEY §2.9): train_flow.py,
+train_ratio.py and sample.py import src.data.mnist_dataset which does not
+exist. The interface below is reconstructed from those call sites:
+
+* get_flow_dataloader(transform_type, batch_size, train) → batches
+  {'x': [B,28,28,1], 'y': [B,28,28,1]} in [-1,1]; 'y' is transform(x)
+  (train_flow.py:61-65 trains on batch[modality], flow_utils.py:131).
+* get_ratio_dataloader(transform_type, batch_size, real_fake_ratio) →
+  batches {'x','y','is_real'} (trainer.py:36-38); real pair = (img,
+  T(img)), fake pair = (img_i, T(img_j)) with label_j != label_i,
+  mirroring the MNIST-SVHN ratio dataset's different-label fakes
+  (mnist_svhn_dataset.py:151-170).
+
+Supported transform names per the inverse map in evaluate.py:40-53.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ratio_guided_multimodal_fm_tpu.data.pipeline import Pairing, to_unit_range
+from ratio_guided_multimodal_fm_tpu.data.sources import load_mnist
+from ratio_guided_multimodal_fm_tpu.data.transforms import apply_transform
+
+
+class _EpochLoader:
+    """Iterable over epochs of fixed-shape dict batches (drop-last)."""
+
+    def __init__(self, make_iter, n_batches: int, seed: int = 0):
+        self._make_iter = make_iter
+        self._n = n_batches
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self):
+        return self._n
+
+    def __iter__(self):
+        rng = np.random.RandomState(self._seed + self._epoch)
+        self._epoch += 1
+        return self._make_iter(rng)
+
+
+def get_flow_dataloader(transform_type: Optional[str] = None,
+                        batch_size: int = 128, train: bool = True,
+                        root: str = "./data", seed: int = 0) -> _EpochLoader:
+    imgs_u8, labels = load_mnist(root, train)
+    x = to_unit_range(imgs_u8)
+    y = np.asarray(apply_transform(transform_type, x)) if transform_type else x
+    n_batches = len(x) // batch_size
+
+    def make_iter(rng):
+        order = rng.permutation(len(x)) if train else np.arange(len(x))
+        for b in range(n_batches):
+            idx = order[b * batch_size:(b + 1) * batch_size]
+            yield {"x": x[idx], "y": y[idx], "label": labels[idx]}
+
+    return _EpochLoader(make_iter, n_batches, seed)
+
+
+def get_ratio_dataloader(transform_type: str = "rotate90",
+                         batch_size: int = 128,
+                         real_fake_ratio: float = 0.5,
+                         train: bool = True, root: str = "./data",
+                         seed: int = 0) -> _EpochLoader:
+    imgs_u8, labels = load_mnist(root, train)
+    x = to_unit_range(imgs_u8)
+    y_all = np.asarray(apply_transform(transform_type, x))
+    pairing = Pairing(labels)
+    n_batches = len(x) // batch_size
+
+    def make_iter(rng):
+        order = rng.permutation(len(x)) if train else np.arange(len(x))
+        for b in range(n_batches):
+            idx = order[b * batch_size:(b + 1) * batch_size]
+            lbl = labels[idx]
+            is_real = rng.rand(batch_size) < real_fake_ratio
+            y_diff, lbl_diff = pairing.different_label(lbl, rng)
+            y_idx = np.where(is_real, idx, y_diff)
+            yield {
+                "x": x[idx],
+                "y": y_all[y_idx],
+                "is_real": is_real.astype(np.float32),
+                "label_x": lbl,
+                "label_y": np.where(is_real, lbl, lbl_diff).astype(lbl.dtype),
+            }
+
+    return _EpochLoader(make_iter, n_batches, seed)
+
+
+def get_classifier_dataloader(batch_size: int = 128, train: bool = True,
+                              root: str = "./data", seed: int = 0) -> _EpochLoader:
+    """Plain (image, label) batches for the MNIST-28 eval classifier."""
+    imgs_u8, labels = load_mnist(root, train)
+    x = to_unit_range(imgs_u8)
+    n_batches = len(x) // batch_size
+
+    def make_iter(rng):
+        order = rng.permutation(len(x)) if train else np.arange(len(x))
+        for b in range(n_batches):
+            idx = order[b * batch_size:(b + 1) * batch_size]
+            yield {"x": x[idx], "label": labels[idx]}
+
+    return _EpochLoader(make_iter, n_batches, seed)
