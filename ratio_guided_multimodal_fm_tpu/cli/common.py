@@ -71,6 +71,58 @@ def load_params_or_exit(path: str, template, what: str, hint: str):
     return load_params(path, template)
 
 
+def summarize_diagnostics(diags, num_steps: int) -> list:
+    """Per-step summary rows from the sampler's stacked diagnostics
+    (arrays of shape [T] or [T, B])."""
+    if not diags:
+        return []
+    d = {k: np.asarray(v) for k, v in diags.items()}
+    rows = []
+    for s in range(num_steps):
+        row = {"step": s, "t": round(s / num_steps, 4)}
+        for k, v in sorted(d.items()):
+            if v.ndim == 1:
+                row[k] = float(v[s])
+            else:
+                row[f"{k}_mean"] = float(v[s].mean())
+                row[f"{k}_min"] = float(v[s].min())
+        rows.append(row)
+    return rows
+
+
+def report_guidance_diagnostics(diags, num_steps: int, save_path=None,
+                                log_fn=print) -> list:
+    """Print guidance diagnostics at ~30% marks — parity+ with the
+    reference's mid-trajectory prints (flow_utils.py:349-363) — and
+    optionally save the full per-step trace as JSON. The headline addition
+    over the reference is the effective sample size (ESS) of the importance
+    weights: ESS → 1 is the weight-collapse failure mode."""
+    rows = summarize_diagnostics(diags, num_steps)
+    if not rows:
+        return rows
+    stride = max(1, int(0.3 * num_steps))
+    for s in range(stride, num_steps, stride):
+        r = rows[s]
+        parts = [f"t={r['t']:.2f}"]
+        if "ess_mean" in r:
+            parts.append(f"ESS mean={r['ess_mean']:.1f} min={r['ess_min']:.1f}")
+        for k in ("v_x_norm", "v_y_norm", "g_x_norm", "g_y_norm"):
+            if k in r:
+                parts.append(f"{k.replace('_norm','')}||={r[k]:.3f}")
+        if "w_max" in r:
+            parts.append(f"w∈[{r.get('w_min', 0):.2e},{r['w_max']:.2e}]")
+        if "Z_bar_mean" in r:
+            parts.append(f"Z̄={r['Z_bar_mean']:.3e}")
+        log_fn("  [guidance diag] " + "  ".join(parts))
+    if save_path:
+        import json
+
+        with open(save_path, "w") as f:
+            json.dump(rows, f, indent=1)
+        log_fn(f"  Diagnostics trace saved to: {save_path}")
+    return rows
+
+
 def count_params(params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
 

@@ -20,6 +20,7 @@ from ratio_guided_multimodal_fm_tpu.cli.common import (
     fm_model,
     load_params_or_exit,
     ratio_log_fn,
+    report_guidance_diagnostics,
     velocity_fn,
 )
 from ratio_guided_multimodal_fm_tpu.core.prng import set_seed
@@ -49,8 +50,15 @@ def main(argv=None):
                         choices=["unet", "original"])
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples")
+    parser.add_argument("--ess_floor", type=float, default=None,
+                        help="Adaptive guidance: per-trajectory gamma_eff = "
+                             "gamma*min(1, ESS/ess_floor)")
     parser.add_argument("--fid", action="store_true",
                         help="Also compute classifier-FID vs real data")
+    parser.add_argument("--save_samples", action="store_true",
+                        help="Save generated samples per config as "
+                             "outputs/samples_{method}_gamma{g}_{transform}"
+                             ".npz (for cross-implementation evaluation)")
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
@@ -120,13 +128,15 @@ def main(argv=None):
                 mc_set = mc_cache[method]
 
             print(f"  Sampling {args.num_samples} pairs...")
-            samples_x, samples_y = sample_bimodal_guided(
+            samples_x, samples_y, diags = sample_bimodal_guided(
                 velocity_fn(model, params_x), velocity_fn(model, params_y),
                 log_ratio_fn=log_ratio, guidance_method=method,
                 guidance_strength=strength, num_samples=args.num_samples,
                 num_steps=args.num_steps, mc_batch_size=args.mc_batch_size,
                 x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key,
-                mc_set=mc_set)
+                mc_set=mc_set, ess_floor=args.ess_floor,
+                return_diagnostics=True)
+            diag_rows = report_guidance_diagnostics(diags, args.num_steps)
 
             metrics = evaluate_coherence(samples_x, samples_y, classify,
                                          args.transform_type)
@@ -137,10 +147,23 @@ def main(argv=None):
                 "coherence_acc": metrics["coherence_acc"],
                 "num_samples": metrics["num_samples"],
             }
+            if diag_rows and "ess_mean" in diag_rows[-1]:
+                result["ess_final_mean"] = diag_rows[-1]["ess_mean"]
+                result["ess_final_min"] = diag_rows[-1]["ess_min"]
+                result["ess_trajectory_min"] = min(
+                    r["ess_min"] for r in diag_rows[1:])
             if args.fid and real_images is not None:
-                result["fid_x"] = compute_fid(clf, {"params": clf_params},
-                                              real_images,
-                                              np.asarray(samples_x))
+                # "classifier_fid": Frechet distance on eval-classifier
+                # features, NOT Inception-FID (eval/fid.py docstring).
+                result["classifier_fid_x"] = compute_fid(
+                    clf, {"params": clf_params}, real_images,
+                    np.asarray(samples_x))
+            if args.save_samples:
+                os.makedirs("outputs", exist_ok=True)
+                np.savez_compressed(
+                    f"outputs/samples_{method}_gamma{strength}"
+                    f"_{args.transform_type}.npz",
+                    x=np.asarray(samples_x), y=np.asarray(samples_y))
             results.append(result)
             print(f"  -> Coherence accuracy: {metrics['coherence_acc']:.3f}")
 

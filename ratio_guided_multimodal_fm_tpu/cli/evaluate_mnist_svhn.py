@@ -51,6 +51,9 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=100)
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples")
+    parser.add_argument("--ess_floor", type=float, default=None,
+                        help="Adaptive guidance: per-trajectory gamma_eff = "
+                             "gamma*min(1, ESS/ess_floor)")
     parser.add_argument("--fid", action="store_true",
                         help="Also compute classifier-FID vs real data")
     add_common_flags(parser)
@@ -111,14 +114,19 @@ def main(argv=None):
                         args.num_steps, log_ratio_clip=args.ratio_clip)
                 mc_set = mc_cache[method]
             print(f"  Sampling {args.num_samples} pairs...")
-            samples_x, samples_y = sample_bimodal_guided(
+            samples_x, samples_y, diags = sample_bimodal_guided(
                 velocity_fn(fm_m, params_m), velocity_fn(fm_s, params_s),
                 log_ratio_fn=log_ratio if method != "none" else None,
                 guidance_method=method, guidance_strength=strength,
                 num_samples=args.num_samples, num_steps=args.num_steps,
                 mc_batch_size=args.mc_batch_size,
                 x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=key,
-                mc_set=mc_set)
+                mc_set=mc_set, ess_floor=args.ess_floor,
+                return_diagnostics=True)
+            from ratio_guided_multimodal_fm_tpu.cli.common import (
+                report_guidance_diagnostics,
+            )
+            diag_rows = report_guidance_diagnostics(diags, args.num_steps)
 
             metrics = evaluate_coherence_dual(samples_x, samples_y,
                                               classify_m, classify_s)
@@ -128,8 +136,13 @@ def main(argv=None):
                 "coherence_acc": metrics["coherence_acc"],
                 "num_samples": metrics["num_samples"],
             }
+            if diag_rows and "ess_mean" in diag_rows[-1]:
+                result["ess_final_mean"] = diag_rows[-1]["ess_mean"]
+                result["ess_trajectory_min"] = min(
+                    r["ess_min"] for r in diag_rows[1:])
             if args.fid:
-                result["fid_mnist"] = compute_fid(
+                # classifier-feature Frechet distance, not Inception-FID
+                result["classifier_fid_mnist"] = compute_fid(
                     clf_m, {"params": params_clf_m}, real_m,
                     np.asarray(samples_x))
             results.append(result)

@@ -17,6 +17,7 @@ from ratio_guided_multimodal_fm_tpu.cli.common import (
     fm_model,
     load_params_or_exit,
     ratio_log_fn,
+    report_guidance_diagnostics,
     velocity_fn,
 )
 from ratio_guided_multimodal_fm_tpu.core.prng import set_seed
@@ -41,6 +42,10 @@ def main(argv=None):
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples (guards against "
                              "saturated-discriminator weight collapse)")
+    parser.add_argument("--ess_floor", type=float, default=None,
+                        help="Adaptive guidance: per-trajectory gamma_eff = "
+                             "gamma*min(1, ESS/ess_floor); mitigates "
+                             "importance-weight collapse")
     parser.add_argument("--model", type=str, default="unet",
                         choices=["unet", "original"])
     add_common_flags(parser)
@@ -92,7 +97,7 @@ def main(argv=None):
         print(f"  MC batch size: {args.mc_batch_size}")
     print(f"  Integration steps: {args.num_steps}")
 
-    samples_x, samples_y = sample_bimodal_guided(
+    samples_x, samples_y, diags = sample_bimodal_guided(
         velocity_fn(model, params_x), velocity_fn(model, params_y),
         log_ratio_fn=log_ratio,
         guidance_method=args.guidance_method,
@@ -100,11 +105,16 @@ def main(argv=None):
         num_samples=args.num_samples, num_steps=args.num_steps,
         mc_batch_size=args.mc_batch_size,
         x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key,
-        log_ratio_clip=args.ratio_clip)
+        log_ratio_clip=args.ratio_clip, ess_floor=args.ess_floor,
+        return_diagnostics=True)
 
     os.makedirs("outputs", exist_ok=True)
-    save_path = (f"outputs/samples_{args.guidance_method}"
-                 f"_gamma{args.guidance_strength}_{args.transform_type}.png")
+    tag = (f"{args.guidance_method}"
+           f"_gamma{args.guidance_strength}_{args.transform_type}")
+    report_guidance_diagnostics(
+        diags, args.num_steps,
+        save_path=f"outputs/diagnostics_{tag}.json")
+    save_path = f"outputs/samples_{tag}.png"
     visualize_pairs(samples_x, samples_y, save_path, args.transform_type)
     print("\nSampling complete!")
 

@@ -82,6 +82,9 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=100)
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples")
+    parser.add_argument("--ess_floor", type=float, default=None,
+                        help="Adaptive guidance: per-trajectory gamma_eff = "
+                             "gamma*min(1, ESS/ess_floor)")
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
@@ -95,7 +98,7 @@ def main(argv=None):
 
     print(f"\nSampling {args.num_samples} pairs "
           f"(method={args.guidance_method}, gamma={args.guidance_strength})")
-    samples_x, samples_y = sample_bimodal_guided(
+    samples_x, samples_y, diags = sample_bimodal_guided(
         velocity_fn(fm_m, params_m), velocity_fn(fm_s, params_s),
         log_ratio_fn=log_ratio,
         guidance_method=args.guidance_method,
@@ -103,9 +106,17 @@ def main(argv=None):
         num_samples=args.num_samples, num_steps=args.num_steps,
         mc_batch_size=args.mc_batch_size,
         x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=key,
-        log_ratio_clip=args.ratio_clip)
+        log_ratio_clip=args.ratio_clip, ess_floor=args.ess_floor,
+        return_diagnostics=True)
 
     os.makedirs("outputs/mnist_svhn", exist_ok=True)
+    from ratio_guided_multimodal_fm_tpu.cli.common import (
+        report_guidance_diagnostics,
+    )
+    report_guidance_diagnostics(
+        diags, args.num_steps,
+        save_path=(f"outputs/mnist_svhn/diagnostics_{args.guidance_method}"
+                   f"_gamma{args.guidance_strength}.json"))
     save_path = (f"outputs/mnist_svhn/samples_{args.guidance_method}"
                  f"_gamma{args.guidance_strength}.png")
     visualize_pairs_mnist_svhn(samples_x, samples_y, save_path)

@@ -79,16 +79,23 @@ class SamplerService:
             jax.block_until_ready(out)
 
     def sample(self, n, method="none", strength=0.0, seed=0):
-        n = min(n, self.batch_size)
+        """Fulfill the FULL request by looping the compiled fixed-batch
+        sampler (a request used to be silently truncated to batch_size —
+        round-1 review finding)."""
         sampler = self._sampler(method, strength)
+        mc = self._mc_set if method == "mc_feng" else None
+        xs, ys = [], []
         t0 = time.perf_counter()
-        x1, y1, _ = sampler(jax.random.PRNGKey(seed), self.batch_size,
-                            self._mc_set if method == "mc_feng" else None)
-        # host conversion inside the timed region — the client-visible cost
-        x1 = np.asarray(jax.block_until_ready(x1))
-        y1 = np.asarray(jax.block_until_ready(y1))
+        for i in range((n + self.batch_size - 1) // self.batch_size):
+            x1, y1, _ = sampler(jax.random.PRNGKey(seed + i),
+                                self.batch_size, mc)
+            # host conversion inside the timed region — client-visible cost
+            xs.append(np.asarray(jax.block_until_ready(x1)))
+            ys.append(np.asarray(jax.block_until_ready(y1)))
         dt = time.perf_counter() - t0
-        return x1[:n], y1[:n], dt
+        x1 = np.concatenate(xs)[:n]
+        y1 = np.concatenate(ys)[:n]
+        return x1, y1, dt
 
     @property
     def compiled(self):
@@ -154,7 +161,7 @@ def make_handler(service: SamplerService):
                 self._send(200, {
                     "num_samples": len(x),
                     "sample_time_sec": round(dt, 4),
-                    "samples_per_sec": round(service.batch_size / dt, 2),
+                    "samples_per_sec": round(len(x) / dt, 2),
                     "format": fmt,
                     "data_b64": payload,
                 })

@@ -8,10 +8,15 @@ exist. The interface below is reconstructed from those call sites:
   {'x': [B,28,28,1], 'y': [B,28,28,1]} in [-1,1]; 'y' is transform(x)
   (train_flow.py:61-65 trains on batch[modality], flow_utils.py:131).
 * get_ratio_dataloader(transform_type, batch_size, real_fake_ratio) →
-  batches {'x','y','is_real'} (trainer.py:36-38); real pair = (img,
-  T(img)), fake pair = (img_i, T(img_j)) with label_j != label_i,
-  mirroring the MNIST-SVHN ratio dataset's different-label fakes
-  (mnist_svhn_dataset.py:151-170).
+  batches {'x','y','is_real'} (trainer.py:36-38); real pair =
+  (img_i, T(img_j)) with label_j == label_i (random same-label partner),
+  fake pair = different-label partner — mirroring the MNIST-SVHN ratio
+  dataset exactly (mnist_svhn_dataset.py:93-99 real, :151-170 fake).
+  Same-LABEL (not same-image) real pairing keeps the target coupling
+  q(x,y) absolutely continuous w.r.t. the product of marginals; a
+  same-image coupling is deterministic, its density ratio is singular,
+  and mc_feng importance weights over independently-generated MC pairs
+  degenerate (observed in round 1 as guidance *hurting* coherence).
 
 Supported transform names per the inverse map in evaluate.py:40-53.
 """
@@ -78,8 +83,9 @@ def get_ratio_dataloader(transform_type: str = "rotate90",
             idx = order[b * batch_size:(b + 1) * batch_size]
             lbl = labels[idx]
             is_real = rng.rand(batch_size) < real_fake_ratio
+            y_same = pairing.same_label(lbl, rng)
             y_diff, lbl_diff = pairing.different_label(lbl, rng)
-            y_idx = np.where(is_real, idx, y_diff)
+            y_idx = np.where(is_real, y_same, y_diff)
             yield {
                 "x": x[idx],
                 "y": y_all[y_idx],

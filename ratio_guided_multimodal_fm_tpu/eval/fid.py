@@ -47,11 +47,10 @@ def compute_fid(model, variables, real_images, gen_images,
                 batch_size: int = 256) -> float:
     """Classifier-FID between real and generated image sets (NHWC, [-1,1])."""
     def feats(imgs):
-        out = []
-        for i in range(0, len(imgs) - batch_size + 1, batch_size):
-            out.append(extract_features(model, variables, imgs[i:i + batch_size]))
-        if not out:  # fewer than batch_size images
-            out.append(extract_features(model, variables, imgs))
+        # include the final partial batch — dropping the tail silently
+        # changed the statistics whenever len % batch_size != 0
+        out = [extract_features(model, variables, imgs[i:i + batch_size])
+               for i in range(0, len(imgs), batch_size)]
         return np.concatenate(out)
 
     return fid_from_features(feats(real_images), feats(gen_images))

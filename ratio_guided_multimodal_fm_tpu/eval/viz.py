@@ -12,7 +12,7 @@ def _to_01(img):
 
 
 def _pair_grid(samples_x, samples_y, save_path, title,
-               num_cols=8, num_rows=8):
+               num_cols=8, num_rows=8, row_labels=("x", "y")):
     import matplotlib
 
     matplotlib.use("Agg")
@@ -42,6 +42,15 @@ def _pair_grid(samples_x, samples_y, save_path, title,
             axes[row_y, col].imshow(iy[..., 0], cmap="gray", vmin=0, vmax=1)
         else:
             axes[row_y, col].imshow(iy)
+
+    # Left-edge x/y row labels (ref sample.py:95-101)
+    if row_labels:
+        for pair_row in range(num_rows):
+            for off, lbl in ((0, row_labels[0]), (1, row_labels[1])):
+                ax = axes[pair_row * 2 + off, 0]
+                ax.set_ylabel(lbl, fontsize=10, rotation=0, labelpad=15,
+                              va="center")
+                ax.yaxis.set_visible(True)
 
     fig.suptitle(title, fontsize=12, fontweight="bold")
     plt.tight_layout()

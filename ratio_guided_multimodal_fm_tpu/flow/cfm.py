@@ -56,12 +56,34 @@ def cfm_loss(velocity_fn: Callable, key: jax.Array, x1: jax.Array) -> jax.Array:
     return jnp.mean((v.astype(jnp.float32) - u.astype(jnp.float32)) ** 2)
 
 
+def euler_scan(velocity_fn: Callable, x0: jax.Array, num_steps: int = 100,
+               unroll: int = 1) -> jax.Array:
+    """THE Euler integrator: x0 at t=0 → x1 at t=1 via one lax.scan.
+
+    t-grid = step·dt (ref flow_utils.py:85-100). This is the single
+    implementation used by `euler_sample`, the guided sampler's MC phase
+    (sample/guided.py) and the distributed sampler
+    (parallel/sharded_guidance.py) — a numerics change lands everywhere.
+    Traceable (not jitted here); callers jit the surrounding program.
+    """
+    dt = 1.0 / num_steps
+
+    def step(x_t, i):
+        t = jnp.full((x0.shape[0],), i * dt, jnp.float32)
+        v = velocity_fn(x_t, t)
+        return x_t + v.astype(jnp.float32) * dt, None
+
+    x1, _ = jax.lax.scan(step, x0.astype(jnp.float32),
+                         jnp.arange(num_steps), unroll=unroll)
+    return x1
+
+
 @partial(jax.jit, static_argnums=(0, 2, 3))
 def euler_sample(velocity_fn: Callable, key: jax.Array, shape: tuple, num_steps: int = 100):
     """Integrate the flow ODE prior→data with a fused lax.scan Euler loop.
 
     Matches CFMSchedule.sample semantics (t = step·dt grid, ref
-    flow_utils.py:85-100) but compiles the whole trajectory into one XLA
+    flow_utils.py:69-100) but compiles the whole trajectory into one XLA
     program — no per-step host dispatch.
 
     Args:
@@ -69,12 +91,4 @@ def euler_sample(velocity_fn: Callable, key: jax.Array, shape: tuple, num_steps:
       shape: full output shape, e.g. (N, 28, 28, 1) NHWC.
     """
     x0 = jax.random.normal(key, shape, jnp.float32)
-    dt = 1.0 / num_steps
-
-    def step(x_t, i):
-        t = jnp.full((shape[0],), i * dt, jnp.float32)
-        v = velocity_fn(x_t, t)
-        return x_t + v.astype(jnp.float32) * dt, None
-
-    x1, _ = jax.lax.scan(step, x0, jnp.arange(num_steps))
-    return x1
+    return euler_scan(velocity_fn, x0, num_steps)

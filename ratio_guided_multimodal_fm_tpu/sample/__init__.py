@@ -1,6 +1,7 @@
 from ratio_guided_multimodal_fm_tpu.sample.guided import (
     sample_bimodal_guided,
     make_guided_sampler,
+    make_guided_sampler_p,
     mc_feng_guidance,
     generate_mc_set,
 )

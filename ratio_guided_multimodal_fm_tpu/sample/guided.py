@@ -23,9 +23,25 @@ and sample_mnist_svhn.py:39-177 (cross-modality twin), re-designed TPU-first:
   reference's max-stabilization + epsilon floors (flow_utils.py:304-319)
   under a bf16 activation policy (SURVEY §7 hard-part #1).
 
+* PARAMS ARE SAMPLER ARGUMENTS (`make_guided_sampler_p`): closing a jitted
+  program over a large param tree embeds it as constants in the serialized
+  module, which remote compilers reject at ~37M params (HTTP 413 — found in
+  round 1's 64×64 stretch run). The params-first API matches the reference,
+  where models are runtime arguments throughout (flow_utils.py:178-213).
+  `make_guided_sampler` remains as closure sugar for small models.
+
 * Optional `mc_axis` shards the N_mc axis across a mesh axis: the row-max,
   means over N, and W@X1 all become pmax/psum reductions — mathematically
   exact (see parallel/sharded_guidance.py).
+
+* Per-step diagnostics include the effective sample size ESS = 1/Σᵢwᵢ² of
+  the importance weights — the quantity that collapses to ~1 in the
+  weight-degeneracy failure mode (ref prints raw weight stats at 30% of
+  steps, flow_utils.py:349-363; ESS is the principled summary). Setting
+  `ess_floor` enables the mitigation: per-trajectory guidance strength is
+  scaled by min(1, ESS/ess_floor), so trajectories whose weights have
+  collapsed fall back toward the unguided flow instead of chasing a single
+  MC sample.
 
 Also implements the README-promised gradient log-ratio method that the
 reference documents but never wired up (README.md:159-164, SURVEY §0):
@@ -39,6 +55,9 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from ratio_guided_multimodal_fm_tpu.core.guards import check_finite
+from ratio_guided_multimodal_fm_tpu.flow.cfm import euler_scan
 
 EPS_T = 1e-3  # guidance gate / sigma floor, matches ref flow_utils.py:224,279
 
@@ -61,6 +80,7 @@ def mc_feng_guidance(
     Returns (g_x, g_y, diagnostics). All math in f32. Matches the reference
     term-for-term (flow_utils.py:273-341) including the three 1e-10 floors
     and the per-row max-stabilization, but computed via matmuls.
+    diagnostics['ess'] is the per-trajectory effective sample size [B].
 
     With `mc_axis` set (inside shard_map), mc_x1/mc_y1/mc_ratios hold only
     this device's N/n_dev shard; reductions over N go through pmax/psum.
@@ -116,19 +136,27 @@ def mc_feng_guidance(
     if mc_axis is not None:
         wsum = jax.lax.psum(wsum, mc_axis)
     w = w / (wsum + 1e-10)                                   # ref :319
+    check_finite(w, "mc_feng importance weights")
 
     # g = (W @ X1 - (Σw)·x_t) / σ   — the [B,N,D] tensor never materializes.
     w_total = jnp.sum(w, axis=1, keepdims=True)
+    w_sq = jnp.sum(w * w, axis=1, keepdims=True)
     wx = dot(w, X1)                                          # [B,Dx] (MXU)
     wy = dot(w, Y1)
     if mc_axis is not None:
         wx = jax.lax.psum(wx, mc_axis)
         wy = jax.lax.psum(wy, mc_axis)
         w_total = jax.lax.psum(w_total, mc_axis)
+        w_sq = jax.lax.psum(w_sq, mc_axis)
     g_x = (wx - w_total * xt) / sigma
     g_y = (wy - w_total * yt) / sigma
 
+    # Effective sample size of the normalized weights: N when uniform,
+    # → 1 when collapsed onto a single MC sample.
+    ess = (w_total * w_total) / (w_sq + 1e-10)               # [B,1]
+
     diag = {
+        "ess": ess[:, 0],
         "w_min": jnp.min(w),
         "w_max": jnp.max(w),
         "Z_bar_mean": jnp.mean(Z_bar),
@@ -153,6 +181,133 @@ class GuidedSamplerConfig:
     # 12-epoch ratio net on well-trained flows). None = reference parity
     # (no clip).
     log_ratio_clip: Optional[float] = None
+    # Optional ESS floor for adaptive guidance strength: per-trajectory
+    # γ_eff = γ·min(1, ESS/ess_floor). Guards the mc_feng weight-collapse
+    # failure mode (importance weights degenerate onto one MC sample near
+    # t→1, or everywhere when flows are sharp). None = reference parity.
+    ess_floor: Optional[float] = None
+
+
+def _make_guided_step(
+    fm_x_fn: Callable,            # (x, t[B]) -> v, params already bound
+    fm_y_fn: Callable,
+    cfg: GuidedSamplerConfig,
+    log_ratio_fn: Optional[Callable],   # (x, y) -> [B], params bound
+    mc_set,                        # (mc_x1, mc_y1, mc_ratios) or None
+    mc_axis: Optional[str],
+):
+    """Build the main-ODE scan body shared by the single-device and the
+    distributed (shard_map) samplers — ONE implementation of the guided
+    Euler step (round-1 review flagged three copies)."""
+    method = cfg.guidance_method
+    gamma = cfg.guidance_strength
+    dt = 1.0 / cfg.num_steps
+    guided = method != "none" and log_ratio_fn is not None
+
+    def step(carry, i):
+        x_t, y_t = carry
+        t = i * dt
+        tb = jnp.full((x_t.shape[0],), t, jnp.float32)
+        v_x = fm_x_fn(x_t, tb).astype(jnp.float32)
+        v_y = fm_y_fn(y_t, tb).astype(jnp.float32)
+
+        diag = {}
+        if guided and method == "mc_feng":
+            mc_x1, mc_y1, mc_ratios = mc_set
+            g_x, g_y, diag = mc_feng_guidance(
+                x_t, y_t, mc_x1, mc_y1, mc_ratios, t, mc_axis=mc_axis)
+            # Guidance gate t > ε (ref :273): inactive at the first step.
+            gate = (t > EPS_T).astype(jnp.float32) * gamma
+            if cfg.ess_floor is not None:
+                scale = jnp.clip(diag["ess"] / cfg.ess_floor, 0.0, 1.0)
+                gate = gate * scale.reshape((-1,) + (1,) * (x_t.ndim - 1))
+            diag["v_x_norm"] = jnp.mean(jnp.linalg.norm(_flat(v_x), axis=1))
+            diag["v_y_norm"] = jnp.mean(jnp.linalg.norm(_flat(v_y), axis=1))
+            v_x = (1.0 - gate) * v_x + gate * g_x
+            v_y = (1.0 - gate) * v_y + gate * g_y
+        elif guided and method == "grad":
+            def lr_sum(xx, yy):
+                return jnp.sum(log_ratio_fn(xx, yy).astype(jnp.float32))
+            g_x, g_y = jax.grad(lr_sum, argnums=(0, 1))(x_t, y_t)
+            gate = (t > EPS_T).astype(jnp.float32) * gamma
+            v_x = v_x + gate * g_x
+            v_y = v_y + gate * g_y
+
+        x_t = x_t + v_x * dt
+        y_t = y_t + v_y * dt
+        return (x_t, y_t), diag
+
+    return step
+
+
+def make_guided_sampler_p(
+    fm_x_apply: Callable,            # (params_x, x[B,...], t[B]) -> v
+    fm_y_apply: Callable,
+    cfg: GuidedSamplerConfig,
+    log_ratio_apply: Optional[Callable] = None,  # (ratio_vars, x, y) -> [B]
+    mc_axis: Optional[str] = None,
+):
+    """Build the fused guided sampler with params as runtime arguments:
+
+        sampler(params, key, num_samples, mc_set=None, init_noise=None)
+            -> (x1, y1, diags)
+
+    where params = (params_x, params_y, ratio_vars). Passing params as
+    arguments (not closure constants) keeps the serialized HLO small — at
+    37M params the remote compiler rejects closure-embedded weights — and
+    matches the reference, where models are call arguments
+    (flow_utils.py:178-213). The returned function is pure/jittable;
+    `num_samples` is static via the shape of the initial noise.
+
+    `init_noise=(x0, y0)` overrides the prior draw (used by the distributed
+    -equivalence tests); `mc_set=(mc_x1, mc_y1, mc_ratios)` skips phase A
+    (eval sweeps amortize it across guidance strengths — the MC set is iid
+    from the flows and independent of γ).
+    """
+    method = cfg.guidance_method
+    num_steps = cfg.num_steps
+    guided = method != "none" and log_ratio_apply is not None
+
+    def sampler(params, key: jax.Array, num_samples: int,
+                mc_set=None, init_noise=None):
+        params_x, params_y, ratio_vars = params
+        fm_x_fn = lambda x, t: fm_x_apply(params_x, x, t)   # noqa: E731
+        fm_y_fn = lambda y, t: fm_y_apply(params_y, y, t)   # noqa: E731
+        log_ratio_fn = None
+        if log_ratio_apply is not None:
+            log_ratio_fn = lambda x, y: log_ratio_apply(ratio_vars, x, y)  # noqa: E731
+
+        kx, ky, kmx, kmy = jax.random.split(key, 4)
+        if init_noise is not None:
+            x_t, y_t = init_noise
+        else:
+            x_t = jax.random.normal(kx, (num_samples,) + cfg.x_shape,
+                                    jnp.float32)
+            y_t = jax.random.normal(ky, (num_samples,) + cfg.y_shape,
+                                    jnp.float32)
+
+        if guided and method == "mc_feng" and mc_set is None:
+            # Phase A: generate N_mc independent pairs from the two flows
+            # (ref flow_utils.py:231-258) and their terminal ratios.
+            x0 = jax.random.normal(kmx, (cfg.mc_batch_size,) + cfg.x_shape,
+                                   jnp.float32)
+            y0 = jax.random.normal(kmy, (cfg.mc_batch_size,) + cfg.y_shape,
+                                   jnp.float32)
+            mc_x1 = euler_scan(fm_x_fn, x0, num_steps)
+            mc_y1 = euler_scan(fm_y_fn, y0, num_steps)
+            log_r = log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32)
+            if cfg.log_ratio_clip is not None:
+                log_r = jnp.clip(log_r, -cfg.log_ratio_clip,
+                                 cfg.log_ratio_clip)
+            mc_set = (mc_x1, mc_y1, jnp.exp(log_r))
+
+        step = _make_guided_step(fm_x_fn, fm_y_fn, cfg, log_ratio_fn,
+                                 mc_set, mc_axis)
+        (x_t, y_t), diags = jax.lax.scan(step, (x_t, y_t),
+                                         jnp.arange(num_steps))
+        return x_t, y_t, diags
+
+    return sampler
 
 
 def make_guided_sampler(
@@ -162,80 +317,24 @@ def make_guided_sampler(
     log_ratio_fn: Optional[Callable] = None,  # (x, y) -> [B]
     mc_axis: Optional[str] = None,
 ):
-    """Build the fused guided sampler: key, num_samples -> (x1, y1, diag).
+    """Closure-sugar variant: params are baked into the callables.
 
-    The returned function is pure/jittable; `num_samples` is static via the
-    shape of the initial noise, so callers jit it once per batch size.
+    Fine for small models (≤9M params); for large ones use
+    `make_guided_sampler_p` — closure capture embeds params as constants in
+    the serialized module (see module docstring).
     """
-    method = cfg.guidance_method
-    gamma = cfg.guidance_strength
-    num_steps = cfg.num_steps
-    dt = 1.0 / num_steps
-    guided = method != "none" and log_ratio_fn is not None
+    inner = make_guided_sampler_p(
+        lambda _, x, t: fm_x_fn(x, t),
+        lambda _, y, t: fm_y_fn(y, t),
+        cfg,
+        None if log_ratio_fn is None else (lambda _, x, y: log_ratio_fn(x, y)),
+        mc_axis=mc_axis,
+    )
 
-    def _euler(fn, key, shape):
-        x = jax.random.normal(key, shape, jnp.float32)
-
-        def step(x_t, i):
-            t = jnp.full((shape[0],), i * dt, jnp.float32)
-            return x_t + fn(x_t, t).astype(jnp.float32) * dt, None
-
-        x, _ = jax.lax.scan(step, x, jnp.arange(num_steps))
-        return x
-
-    def sampler(key: jax.Array, num_samples: int, mc_set=None):
-        kx, ky, kmx, kmy = jax.random.split(key, 4)
-        x_t = jax.random.normal(kx, (num_samples,) + cfg.x_shape, jnp.float32)
-        y_t = jax.random.normal(ky, (num_samples,) + cfg.y_shape, jnp.float32)
-
-        mc_x1 = mc_y1 = mc_ratios = None
-        if guided and method == "mc_feng":
-            if mc_set is not None:
-                # Precomputed MC set (generate_mc_set) — lets eval sweeps
-                # amortize phase A across guidance strengths (the MC set is
-                # iid from the flows and independent of γ; with a fixed seed
-                # the reference would regenerate the identical set anyway).
-                mc_x1, mc_y1, mc_ratios = mc_set
-            else:
-                # Phase A: generate N_mc independent pairs from the two
-                # flows (ref flow_utils.py:231-258) and their terminal ratios.
-                mc_x1 = _euler(fm_x_fn, kmx, (cfg.mc_batch_size,) + cfg.x_shape)
-                mc_y1 = _euler(fm_y_fn, kmy, (cfg.mc_batch_size,) + cfg.y_shape)
-                log_r = log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32)
-                if cfg.log_ratio_clip is not None:
-                    log_r = jnp.clip(log_r, -cfg.log_ratio_clip,
-                                     cfg.log_ratio_clip)
-                mc_ratios = jnp.exp(log_r)
-
-        def step(carry, i):
-            x_t, y_t = carry
-            t = i * dt
-            tb = jnp.full((num_samples,), t, jnp.float32)
-            v_x = fm_x_fn(x_t, tb).astype(jnp.float32)
-            v_y = fm_y_fn(y_t, tb).astype(jnp.float32)
-
-            diag = {}
-            if guided and method == "mc_feng":
-                g_x, g_y, diag = mc_feng_guidance(
-                    x_t, y_t, mc_x1, mc_y1, mc_ratios, t, mc_axis=mc_axis)
-                # Guidance gate t > ε (ref :273): inactive at the first step.
-                gate = (t > EPS_T).astype(jnp.float32) * gamma
-                v_x = (1.0 - gate) * v_x + gate * g_x
-                v_y = (1.0 - gate) * v_y + gate * g_y
-            elif guided and method == "grad":
-                def lr_sum(xx, yy):
-                    return jnp.sum(log_ratio_fn(xx, yy).astype(jnp.float32))
-                g_x, g_y = jax.grad(lr_sum, argnums=(0, 1))(x_t, y_t)
-                gate = (t > EPS_T).astype(jnp.float32) * gamma
-                v_x = v_x + gate * g_x
-                v_y = v_y + gate * g_y
-
-            x_t = x_t + v_x * dt
-            y_t = y_t + v_y * dt
-            return (x_t, y_t), diag
-
-        (x_t, y_t), diags = jax.lax.scan(step, (x_t, y_t), jnp.arange(num_steps))
-        return x_t, y_t, diags
+    def sampler(key: jax.Array, num_samples: int, mc_set=None,
+                init_noise=None):
+        return inner((None, None, None), key, num_samples, mc_set,
+                     init_noise)
 
     return sampler
 
@@ -285,6 +384,7 @@ def sample_bimodal_guided(
     return_diagnostics: bool = False,
     mc_set=None,
     log_ratio_clip: Optional[float] = None,
+    ess_floor: Optional[float] = None,
 ):
     """Convenience wrapper with the reference's argument surface
     (flow_utils.py:178-213). Returns (samples_x, samples_y) NHWC in [-1,1]-ish.
@@ -299,6 +399,7 @@ def sample_bimodal_guided(
         x_shape=x_shape,
         y_shape=y_shape,
         log_ratio_clip=log_ratio_clip,
+        ess_floor=ess_floor,
     )
     sampler = jax.jit(
         make_guided_sampler(fm_x_fn, fm_y_fn, cfg, log_ratio_fn),

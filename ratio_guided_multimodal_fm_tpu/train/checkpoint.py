@@ -103,17 +103,41 @@ def save_train_checkpoint(path: str, state, epoch: int, best_loss: float) -> Non
     save_checkpoint(path, tree)
 
 
+def _key_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                    for k in path)
+
+
 def load_params(path: str, params_template: Any) -> Any:
-    """Restore a params tree from either format."""
+    """Restore a params tree from either format, VALIDATED against the
+    template: key paths must match exactly and shapes must agree. (A
+    positional leaf-zip silently restored garbage from any checkpoint with
+    the same leaf count — round-1 review finding.)"""
     restored = load_checkpoint(path)
     if isinstance(restored, dict) and "params" in restored:
         restored = restored["params"]
-    # Conform dtypes/structure to the template.
-    flat_t, treedef = jax.tree_util.tree_flatten(params_template)
-    flat_r = jax.tree_util.tree_leaves(restored)
-    if len(flat_t) != len(flat_r):
+
+    flat_t, treedef = jax.tree_util.tree_flatten_with_path(params_template)
+    flat_r = dict(
+        (_key_str(p), v)
+        for p, v in jax.tree_util.tree_flatten_with_path(restored)[0])
+
+    t_keys = [_key_str(p) for p, _ in flat_t]
+    missing = [k for k in t_keys if k not in flat_r]
+    extra = [k for k in flat_r if k not in set(t_keys)]
+    if missing or extra:
         raise ValueError(
-            f"Checkpoint at {path} has {len(flat_r)} arrays, expected {len(flat_t)}")
-    flat = [np.asarray(r).astype(t.dtype).reshape(t.shape)
-            for r, t in zip(flat_r, flat_t)]
-    return jax.tree_util.tree_unflatten(treedef, flat)
+            f"Checkpoint at {path} does not match the model structure.\n"
+            f"  missing keys: {missing[:5]}{'...' if len(missing) > 5 else ''}\n"
+            f"  unexpected keys: {extra[:5]}{'...' if len(extra) > 5 else ''}")
+
+    leaves = []
+    for key, (_, t) in zip(t_keys, flat_t):
+        r = np.asarray(flat_r[key])
+        if tuple(r.shape) != tuple(t.shape):
+            raise ValueError(
+                f"Checkpoint at {path}: shape mismatch at '{key}': "
+                f"stored {tuple(r.shape)} vs model {tuple(t.shape)}")
+        leaves.append(r.astype(t.dtype))
+    treedef_only = jax.tree_util.tree_structure(params_template)
+    return jax.tree_util.tree_unflatten(treedef_only, leaves)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
+from ratio_guided_multimodal_fm_tpu.core.guards import check_finite
 from ratio_guided_multimodal_fm_tpu.flow.cfm import interpolate
 from ratio_guided_multimodal_fm_tpu.flow.losses import get_ratio_loss
 
@@ -46,6 +47,7 @@ def make_fm_train_step(model, *, donate: bool = True) -> Callable:
             return jnp.mean((v.astype(jnp.float32) - u.astype(jnp.float32)) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        check_finite(loss, "fm train loss")
         return state.apply_gradients(grads=grads), loss
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -80,6 +82,7 @@ def make_ratio_train_step(
 
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        check_finite(loss, "ratio train loss")
         state = state.apply_gradients(grads=grads)
         if has_batch_stats:
             state = state.replace(batch_stats=new_stats)

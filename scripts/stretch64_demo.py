@@ -26,7 +26,6 @@ from ratio_guided_multimodal_fm_tpu.data.synthetic import generate_digits
 from ratio_guided_multimodal_fm_tpu.eval.viz import visualize_pairs_mnist_svhn
 from ratio_guided_multimodal_fm_tpu.models import FlexibleRatioEstimator
 from ratio_guided_multimodal_fm_tpu.models.unet import FlowMatchingUNet64
-from ratio_guided_multimodal_fm_tpu.sample import sample_bimodal_guided
 from ratio_guided_multimodal_fm_tpu.train.steps import (
     create_fm_state,
     create_ratio_state,
@@ -102,7 +101,7 @@ def main():
 
     from ratio_guided_multimodal_fm_tpu.sample.guided import (
         GuidedSamplerConfig,
-        make_guided_sampler,
+        make_guided_sampler_p,
     )
 
     os.makedirs("outputs/stretch64", exist_ok=True)
@@ -113,23 +112,22 @@ def main():
             num_steps=args.num_steps, mc_batch_size=128,
             x_shape=(64, 64, 3), y_shape=(64, 64, 1), log_ratio_clip=3.0)
 
-        # Params enter through jit ARGUMENTS (building the sampler inside
-        # the traced function): closing over a 37M-param tree would embed
-        # it as constants in the serialized module and blow the remote
-        # compiler's request limit (observed HTTP 413).
-        def run(key, px, py, pr):
-            sampler = make_guided_sampler(
-                lambda x, t: fm_x.apply({"params": px}, x, t),
-                lambda y, t: fm_y.apply({"params": py}, y, t),
-                cfg,
-                None if method == "none" else
-                (lambda a, b: ratio.apply({"params": pr}, a, b,
-                                          method=ratio.log_ratio)))
-            return sampler(key, 32)
+        # Params enter as sampler ARGUMENTS (make_guided_sampler_p, the
+        # first-class library API): closing over a 37M-param tree would
+        # embed it as constants in the serialized module and blow the
+        # remote compiler's request limit (observed HTTP 413 in round 1).
+        sampler = jax.jit(make_guided_sampler_p(
+            lambda p, x, t: fm_x.apply({"params": p}, x, t),
+            lambda p, y, t: fm_y.apply({"params": p}, y, t),
+            cfg,
+            None if method == "none" else
+            (lambda v, a, b: ratio.apply({"params": v}, a, b,
+                                         method=ratio.log_ratio))),
+            static_argnums=(2,))
 
         t0 = time.time()
-        xs, ys, _ = jax.jit(run)(jax.random.PRNGKey(9), sx.params, sy.params,
-                                 rs.params)
+        xs, ys, _ = sampler((sx.params, sy.params, rs.params),
+                            jax.random.PRNGKey(9), 32)
         xs, ys = jax.block_until_ready((xs, ys))
         dt = time.time() - t0
         path = f"outputs/stretch64/samples_{method}_gamma{gamma}.png"

@@ -10,6 +10,8 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# NaN guards (core/guards.py) on for the whole suite (SURVEY §5.2).
+os.environ.setdefault("RGMF_NAN_CHECKS", "1")
 
 import jax  # noqa: E402
 

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ratio_guided_multimodal_fm_tpu.parallel.mesh import make_mesh
 from ratio_guided_multimodal_fm_tpu.sample.guided import mc_feng_guidance

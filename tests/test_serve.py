@@ -28,9 +28,12 @@ def test_service_sample_and_padding():
     x, y, dt = svc.sample(3, "mc_feng", 0.5, seed=1)
     assert x.shape == (3, 6, 6, 1)
     assert np.isfinite(x).all()
-    # over-batch request clamps to batch_size
-    x, _, _ = svc.sample(100, "none", 0.0)
-    assert x.shape[0] == 8
+    # over-batch request is FULFILLED by looping the compiled fixed-batch
+    # sampler (the old behavior silently truncated — round-1 finding)
+    x, _, _ = svc.sample(20, "none", 0.0)
+    assert x.shape[0] == 20
+    # batches use distinct seeds — no duplicated blocks
+    assert not np.allclose(x[:8], x[8:16])
 
 
 def test_http_roundtrip():

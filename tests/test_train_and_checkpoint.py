@@ -119,3 +119,36 @@ def test_ratio_state_with_batch_stats(tmp_path):
     b = jax.tree_util.tree_leaves(state2.batch_stats)
     assert any(not np.allclose(np.asarray(x1), np.asarray(y1))
                for x1, y1 in zip(a, b))
+
+
+def test_load_params_rejects_structure_mismatch(tmp_path):
+    """A checkpoint with the same leaf COUNT but different key paths or
+    shapes must be refused, not silently conformed (round-1 finding)."""
+    import numpy as np
+    import pytest
+
+    from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
+        load_params,
+        save_checkpoint,
+    )
+
+    good = {"dense": {"kernel": np.ones((3, 4), np.float32),
+                      "bias": np.zeros((4,), np.float32)}}
+    path = str(tmp_path / "ckpt_struct")
+    save_checkpoint(path, good)
+
+    # same leaf count, different key names
+    bad_names = {"dense": {"w": np.ones((3, 4), np.float32),
+                           "b": np.zeros((4,), np.float32)}}
+    with pytest.raises(ValueError, match="does not match"):
+        load_params(path, bad_names)
+
+    # same structure, different shapes
+    bad_shapes = {"dense": {"kernel": np.ones((4, 3), np.float32),
+                            "bias": np.zeros((4,), np.float32)}}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_params(path, bad_shapes)
+
+    restored = load_params(path, good)
+    np.testing.assert_array_equal(restored["dense"]["kernel"],
+                                  good["dense"]["kernel"])
