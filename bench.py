@@ -2,17 +2,26 @@
 config (BASELINE.json metric: guided pair samples/sec/chip at 100 ODE steps).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N,
+   "mfu_pct": ...}
+
+Headline workload = the reference's own end-to-end eval unit
+(evaluate_mnist_svhn.py defaults: ~500 samples per config, N_mc=256,
+100 Euler steps): B=512 guided pairs through the FULL pipeline — MC phase A
+(2x256-chain Euler) + guided phase B — as one jitted program. A B-sweep
+(64/256/512/1024) and the phase split are written to bench_details.json,
+with MFU computed from the compiled program's own cost analysis against the
+v5e bf16 peak (197 TFLOP/s). Note the architecture caps achievable MFU well
+below 100%: the parity U-Nets have 32-64 conv channels, so most MXU passes
+use a fraction of the 128x128 systolic array.
 
 vs_baseline compares against the reference PyTorch implementation's CPU
 throughput for the same workload (the reference publishes no numbers —
 BASELINE.md directs us to measure it). The measured baseline is stored in
 bench_baseline.json; regenerate with `python bench.py --measure-baseline`
 (runs the reference's sampler at /root/reference on torch CPU with
-randomly-initialized models — throughput is weight-independent).
-
-Workload: 64 pairs, 100 Euler steps, N_mc=256 MC guidance samples,
-FlowMatchingUNetMNIST(32) + FlowMatchingUNetSVHN + RatioEstimatorMNISTSVHN.
+randomly-initialized models — throughput is weight-independent, and per-
+sample throughput is batch-independent on CPU: time is linear in B).
 """
 from __future__ import annotations
 
@@ -21,14 +30,18 @@ import os
 import sys
 import time
 
-NUM_SAMPLES = 64
 NUM_STEPS = 100
 MC_BATCH = 256
+HEADLINE_B = 512
+SWEEP_B = (64, 256, 512, 1024)
+PEAK_FLOPS_BF16 = 197e12  # TPU v5e single chip
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
+DETAILS_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_details.json")
 
 
-def run_tpu_bench() -> float:
+def _build_sampler(scan_unroll: int = 1, method: str = "mc_feng"):
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +52,7 @@ def run_tpu_bench() -> float:
     )
     from ratio_guided_multimodal_fm_tpu.sample.guided import (
         GuidedSamplerConfig,
-        make_guided_sampler,
+        make_guided_sampler_p,
     )
 
     # bf16 activation policy (params stay f32): +47% throughput on v5e with
@@ -56,37 +69,137 @@ def run_tpu_bench() -> float:
     rv = ratio.init(k, jnp.zeros((1, 32, 32, 1)), jnp.zeros((1, 32, 32, 3)))
 
     cfg = GuidedSamplerConfig(
-        guidance_method="mc_feng", guidance_strength=0.5,
+        guidance_method=method, guidance_strength=0.5,
         num_steps=NUM_STEPS, mc_batch_size=MC_BATCH,
-        x_shape=(32, 32, 1), y_shape=(32, 32, 3))
+        x_shape=(32, 32, 1), y_shape=(32, 32, 3), scan_unroll=scan_unroll)
 
     sampler = jax.jit(
-        make_guided_sampler(
-            lambda x, t: fm_m.apply({"params": pm}, x, t),
-            lambda y, t: fm_s.apply({"params": ps}, y, t),
+        make_guided_sampler_p(
+            lambda p, x, t: fm_m.apply({"params": p}, x, t),
+            lambda p, y, t: fm_s.apply({"params": p}, y, t),
             cfg,
-            lambda x, y: ratio.apply(rv, x, y, method=ratio.log_ratio),
-        ),
-        static_argnums=(1,),
-    )
+            lambda v, x, y: ratio.apply(v, x, y, method=ratio.log_ratio)),
+        static_argnums=(2,))
+    params = (pm, ps, rv)
+    return sampler, params
 
-    # warmup/compile
-    out = sampler(jax.random.PRNGKey(1), NUM_SAMPLES)
+
+def _time_config(sampler, params, batch: int, reps: int = 3):
+    import jax
+
+    out = sampler(params, jax.random.PRNGKey(1), batch)
     jax.block_until_ready(out)
-
     times = []
-    for i in range(3):
+    for i in range(reps):
         t0 = time.perf_counter()
-        out = sampler(jax.random.PRNGKey(2 + i), NUM_SAMPLES)
+        out = sampler(params, jax.random.PRNGKey(2 + i), batch)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    best = min(times)
-    return NUM_SAMPLES / best
+    return min(times)
+
+
+def _flops_of(sampler, params, batch: int):
+    """Total FLOPs of the compiled program, from XLA's own cost analysis."""
+    import jax
+
+    try:
+        compiled = sampler.lower(params, jax.random.PRNGKey(1),
+                                 batch).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def run_tpu_bench() -> dict:
+    import jax
+
+    details = {
+        "hardware": f"{jax.devices()[0].device_kind}, 1 chip",
+        "workload": {"num_steps": NUM_STEPS, "mc_batch_size": MC_BATCH,
+                     "dtype": "bf16 activations / f32 guidance math"},
+        "peak_flops_bf16": PEAK_FLOPS_BF16,
+    }
+
+    # unroll selection at the headline batch
+    unroll_results = {}
+    best_unroll, best_t = 1, float("inf")
+    for unroll in (1, 4):
+        sampler, params = _build_sampler(scan_unroll=unroll)
+        t = _time_config(sampler, params, HEADLINE_B)
+        unroll_results[f"unroll={unroll}"] = round(HEADLINE_B / t, 1)
+        if t < best_t:
+            best_unroll, best_t = unroll, t
+    details["unroll_sweep_B512_samples_per_sec"] = unroll_results
+
+    sampler, params = _build_sampler(scan_unroll=best_unroll)
+    details["scan_unroll"] = best_unroll
+
+    sweep = {}
+    mfu = {}
+    for b in SWEEP_B:
+        t = _time_config(sampler, params, b)
+        sweep[f"B={b}"] = round(b / t, 1)
+        fl = _flops_of(sampler, params, b)
+        if fl:
+            mfu[f"B={b}"] = round(100.0 * fl / t / PEAK_FLOPS_BF16, 2)
+    details["batch_sweep_samples_per_sec"] = sweep
+    details["mfu_pct"] = mfu
+
+    # phase split at the headline batch: main ODE alone (warm MC set) vs full
+    from ratio_guided_multimodal_fm_tpu.sample.guided import generate_mc_set
+
+    import jax.numpy as jnp  # noqa: F401
+
+    sampler_p, params_p = sampler, params
+    pm, ps, rv = params_p
+    from ratio_guided_multimodal_fm_tpu.models import (
+        FlowMatchingUNetMNIST,
+        FlowMatchingUNetSVHN,
+        RatioEstimatorMNISTSVHN,
+    )
+    fm_m = FlowMatchingUNetMNIST(img_size=32, dtype=jnp.bfloat16)
+    fm_s = FlowMatchingUNetSVHN(dtype=jnp.bfloat16)
+    ratio = RatioEstimatorMNISTSVHN(dtype=jnp.bfloat16)
+    mc = generate_mc_set(
+        lambda x, t: fm_m.apply({"params": pm}, x, t),
+        lambda y, t: fm_s.apply({"params": ps}, y, t),
+        lambda x, y: ratio.apply(rv, x, y, method=ratio.log_ratio),
+        jax.random.PRNGKey(7), MC_BATCH, (32, 32, 1), (32, 32, 3), NUM_STEPS)
+    mc = jax.block_until_ready(mc)
+    out = sampler_p(params_p, jax.random.PRNGKey(1), HEADLINE_B, mc)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = sampler_p(params_p, jax.random.PRNGKey(2), HEADLINE_B, mc)
+    jax.block_until_ready(out)
+    t_main = time.perf_counter() - t0
+    t_full = best_t
+    details["phase_split_B512_sec"] = {
+        "full_pipeline": round(t_full, 4),
+        "main_ode_with_warm_mc_set": round(t_main, 4),
+        "mc_phase_A_implied": round(t_full - t_main, 4),
+    }
+    details["serving_steady_state_samples_per_sec"] = round(
+        HEADLINE_B / t_main, 1)
+
+    headline = sweep[f"B={HEADLINE_B}"]
+    details["headline"] = {
+        "metric": f"guided pair samples/sec/chip (100 ODE steps, N_mc=256, "
+                  f"MNIST-SVHN, B={HEADLINE_B})",
+        "value": headline,
+        "mfu_pct": mfu.get(f"B={HEADLINE_B}"),
+    }
+    details["date"] = time.strftime("%Y-%m-%d")
+    with open(DETAILS_FILE, "w") as f:
+        json.dump(details, f, indent=2)
+    return details
 
 
 def measure_reference_baseline() -> float:
-    """Time the reference's sampler on torch CPU (scaled-down, linear in
-    num_steps so we extrapolate 10 → 100 steps)."""
+    """Time the reference's sampler on torch CPU (scaled-down: 10x fewer
+    steps and B=64; cost is linear in both, so samples/sec transfers)."""
     sys.path.insert(0, "/root/reference")
     import torch
 
@@ -102,15 +215,30 @@ def measure_reference_baseline() -> float:
     fm_s = TorchFMS()
     ratio = TorchRatio()
 
-    steps_scaled = 10  # 10x fewer steps; cost is linear in steps
+    # Separate the fixed MC phase-A cost (independent of B) from the
+    # per-sample phase-B cost, so the baseline extrapolates honestly to the
+    # headline batch: t(B) = tA + tB_per64*(B/64), all linear in num_steps.
+    n, steps_scaled = 64, 10
+    t0 = time.perf_counter()
+    sample_bimodal_guided_mnist_svhn(
+        fm_mnist=fm_m, fm_svhn=fm_s, ratio_estimator=None,
+        guidance_method="none", guidance_strength=0.0,
+        num_samples=n, num_steps=steps_scaled, device="cpu",
+        mc_batch_size=MC_BATCH)
+    t_none = time.perf_counter() - t0
     t0 = time.perf_counter()
     sample_bimodal_guided_mnist_svhn(
         fm_mnist=fm_m, fm_svhn=fm_s, ratio_estimator=ratio,
         guidance_method="mc_feng", guidance_strength=0.5,
-        num_samples=NUM_SAMPLES, num_steps=steps_scaled, device="cpu",
+        num_samples=n, num_steps=steps_scaled, device="cpu",
         mc_batch_size=MC_BATCH)
-    dt = (time.perf_counter() - t0) * (NUM_STEPS / steps_scaled)
-    return NUM_SAMPLES / dt
+    t_mc = time.perf_counter() - t0
+    scale = NUM_STEPS / steps_scaled
+    t_phase_a = max(t_mc - t_none, 0.0) * scale
+    t_phase_b_per64 = t_none * scale
+    def thr(B):
+        return B / (t_phase_a + t_phase_b_per64 * (B / 64))
+    return {f"B={b}": thr(b) for b in SWEEP_B}
 
 
 def main():
@@ -118,27 +246,31 @@ def main():
         thr = measure_reference_baseline()
         with open(BASELINE_FILE, "w") as f:
             json.dump({
-                "reference_cpu_samples_per_sec": thr,
-                "workload": {"num_samples": NUM_SAMPLES,
-                             "num_steps": NUM_STEPS,
-                             "mc_batch_size": MC_BATCH},
+                "reference_cpu_samples_per_sec": thr[f"B={HEADLINE_B}"],
+                "reference_cpu_samples_per_sec_by_batch": thr,
+                "workload": {"num_steps": NUM_STEPS,
+                             "mc_batch_size": MC_BATCH,
+                             "headline_batch": HEADLINE_B,
+                             "note": "phase A (fixed) and phase B (linear "
+                                     "in B) measured separately, both "
+                                     "linear in num_steps"},
             }, f, indent=2)
-        print(f"reference CPU baseline: {thr:.3f} samples/sec -> "
-              f"{BASELINE_FILE}")
+        print(f"reference CPU baseline: {thr} -> {BASELINE_FILE}")
         return
 
-    value = run_tpu_bench()
+    details = run_tpu_bench()
+    value = details["headline"]["value"]
     baseline = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             baseline = json.load(f)["reference_cpu_samples_per_sec"]
     vs = (value / baseline) if baseline else None
     print(json.dumps({
-        "metric": "guided pair samples/sec/chip (100 ODE steps, N_mc=256, "
-                  "MNIST-SVHN)",
+        "metric": details["headline"]["metric"],
         "value": round(value, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "mfu_pct": details["headline"]["mfu_pct"],
     }))
 
 
