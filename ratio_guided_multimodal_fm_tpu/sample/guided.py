@@ -186,6 +186,26 @@ class GuidedSamplerConfig:
     # failure mode (importance weights degenerate onto one MC sample near
     # t→1, or everywhere when flows are sharp). None = reference parity.
     ess_floor: Optional[float] = None
+    # mc_feng guidance backend: False = XLA matmul path (mc_feng_guidance),
+    # True = flash-attention-style Pallas kernel (ops/guidance_pallas.py,
+    # one HBM pass over the MC set, N_mc bounded by HBM not VMEM),
+    # "auto" = Pallas on TPU when the MC axis is not sharded,
+    # "interpret" = Pallas in interpret mode (CPU tests only).
+    use_pallas: object = False
+
+
+def _resolve_pallas(cfg: "GuidedSamplerConfig",
+                    mc_axis: Optional[str]) -> bool:
+    if cfg.use_pallas is True or cfg.use_pallas == "interpret":
+        return True
+    if cfg.use_pallas == "auto":
+        from ratio_guided_multimodal_fm_tpu.ops.guidance_pallas import (
+            pallas_available,
+        )
+        # The sharded path needs global pmax/psum reductions inside the
+        # weight math — only the XLA formulation supports that.
+        return mc_axis is None and pallas_available()
+    return False
 
 
 def _make_guided_step(
@@ -203,6 +223,11 @@ def _make_guided_step(
     gamma = cfg.guidance_strength
     dt = 1.0 / cfg.num_steps
     guided = method != "none" and log_ratio_fn is not None
+    use_pallas = _resolve_pallas(cfg, mc_axis)
+    if guided and method == "mc_feng" and use_pallas:
+        # log r̂ hoisted out of the scan (invariant across steps)
+        mc_log_r = jnp.log(jnp.maximum(
+            mc_set[2].astype(jnp.float32), 1e-30))
 
     def step(carry, i):
         x_t, y_t = carry
@@ -214,8 +239,24 @@ def _make_guided_step(
         diag = {}
         if guided and method == "mc_feng":
             mc_x1, mc_y1, mc_ratios = mc_set
-            g_x, g_y, diag = mc_feng_guidance(
-                x_t, y_t, mc_x1, mc_y1, mc_ratios, t, mc_axis=mc_axis)
+            if use_pallas:
+                from ratio_guided_multimodal_fm_tpu.ops.guidance_pallas import (  # noqa: E501
+                    flash_guidance,
+                )
+                g_x, g_y, ess, l = flash_guidance(
+                    x_t, y_t, mc_x1, mc_y1, mc_log_r, jnp.float32(t),
+                    interpret=cfg.use_pallas == "interpret")
+                diag = {
+                    "ess": ess,
+                    "w_max": jnp.max(1.0 / (l + 1e-30)),
+                    "g_x_norm": jnp.mean(
+                        jnp.linalg.norm(_flat(g_x), axis=1)),
+                    "g_y_norm": jnp.mean(
+                        jnp.linalg.norm(_flat(g_y), axis=1)),
+                }
+            else:
+                g_x, g_y, diag = mc_feng_guidance(
+                    x_t, y_t, mc_x1, mc_y1, mc_ratios, t, mc_axis=mc_axis)
             # Guidance gate t > ε (ref :273): inactive at the first step.
             gate = (t > EPS_T).astype(jnp.float32) * gamma
             if cfg.ess_floor is not None:

@@ -125,10 +125,14 @@ def main() -> None:
     out = {
         "experiment": "MNIST <-> rotate90 (exp-1), frozen synthetic IDX "
                       "dataset, identical data + hyperparameters",
-        "training": {"classifier_epochs": 3, "flow_epochs": 10,
-                     "ratio_epochs": 10, "batch_size": 128,
-                     "lr_flows_ratio": 1e-4, "lr_classifier": 1e-3},
-        "eval": {"num_samples": 512, "num_steps": 100, "mc_batch_size": 256},
+        "training": {
+            "classifier_epochs": int(os.environ.get("PARITY_EPOCHS_CLS", "3")),
+            "flow_epochs": int(os.environ.get("PARITY_EPOCHS_FLOW", "5")),
+            "ratio_epochs": int(os.environ.get("PARITY_EPOCHS_RATIO", "10")),
+            "batch_size": 128,
+            "lr_flows_ratio": 1e-4, "lr_classifier": 1e-3},
+        "eval": {"num_samples": int(os.environ.get("PARITY_N", "512")),
+                 "num_steps": 100, "mc_batch_size": 256},
         "comparison_note": "'*_jax_classifier' columns score BOTH "
                            "implementations' samples with the same trained "
                            "JAX classifier — the apples-to-apples metric.",

@@ -23,10 +23,12 @@ REPO = os.path.abspath(os.path.join(HERE, "..", ".."))
 sys.path.insert(0, REPO)
 
 _SMOKE = bool(int(os.environ.get("PARITY_SMOKE", "0")))
-EPOCHS_CLS = 1 if _SMOKE else 3
-EPOCHS_FLOW = 1 if _SMOKE else 10
-EPOCHS_RATIO = 1 if _SMOKE else 10
-NUM_SAMPLES = 8 if _SMOKE else 512
+# Same env knobs as run_torch_reference.py — the two sides must train with
+# identical protocol for the golden-curve comparison.
+EPOCHS_CLS = 1 if _SMOKE else int(os.environ.get("PARITY_EPOCHS_CLS", "3"))
+EPOCHS_FLOW = 1 if _SMOKE else int(os.environ.get("PARITY_EPOCHS_FLOW", "5"))
+EPOCHS_RATIO = 1 if _SMOKE else int(os.environ.get("PARITY_EPOCHS_RATIO", "10"))
+NUM_SAMPLES = 8 if _SMOKE else int(os.environ.get("PARITY_N", "512"))
 NUM_STEPS = 4 if _SMOKE else 100
 MC_BATCH = 16 if _SMOKE else 256
 TRANSFORM = "rotate90"

@@ -33,12 +33,19 @@ REPO = os.path.abspath(os.path.join(HERE, "..", ".."))
 REFERENCE = "/root/reference"
 
 _SMOKE = bool(int(os.environ.get("PARITY_SMOKE", "0")))
-EPOCHS_CLS = 1 if _SMOKE else 3
-EPOCHS_FLOW = 1 if _SMOKE else 10
-EPOCHS_RATIO = 1 if _SMOKE else 10
-NUM_SAMPLES = 8 if _SMOKE else 512
+# Protocol knobs (identical on the JAX side — run_jax_side.py reads the
+# same env vars). Defaults sized so the single-core torch run finishes in
+# one session: the curve's value is the *identical protocol*, not any
+# specific training budget.
+EPOCHS_CLS = 1 if _SMOKE else int(os.environ.get("PARITY_EPOCHS_CLS", "3"))
+EPOCHS_FLOW = 1 if _SMOKE else int(os.environ.get("PARITY_EPOCHS_FLOW", "5"))
+EPOCHS_RATIO = 1 if _SMOKE else int(os.environ.get("PARITY_EPOCHS_RATIO", "10"))
+NUM_SAMPLES = 8 if _SMOKE else int(os.environ.get("PARITY_N", "512"))
 NUM_STEPS = 4 if _SMOKE else 100
 MC_BATCH = 16 if _SMOKE else 256
+# Sampling is chunked so a multi-hour single-core torch run is resumable
+# and can be cut short at any accumulated sample count.
+CHUNK = 8 if _SMOKE else int(os.environ.get("PARITY_CHUNK", "64"))
 CONFIGS = [("none", 0.0), ("mc_feng", 0.5), ("mc_feng", 1.0)]
 TRANSFORM = "rotate90"
 SEED = 42
@@ -116,6 +123,7 @@ def stage_eval(args) -> None:
 
     os.makedirs("outputs", exist_ok=True)
     results = []
+    n_chunks = (NUM_SAMPLES + CHUNK - 1) // CHUNK
     for method, gamma in CONFIGS:
         tag = f"{method}_gamma{gamma}"
         npz_path = f"outputs/samples_{tag}.npz"
@@ -125,17 +133,31 @@ def stage_eval(args) -> None:
             sy = torch.from_numpy(z["y"])
             print(f"[parity] {tag}: reusing saved samples", flush=True)
         else:
-            print(f"[parity] sampling {tag} ...", flush=True)
-            set_seed(1234)
-            t0 = time.time()
-            sx, sy = sample_bimodal_guided(
-                fm_x=fm_x, fm_y=fm_y,
-                ratio_estimator=None if method == "none" else ratio,
-                guidance_method=method, guidance_strength=gamma,
-                num_samples=NUM_SAMPLES, num_steps=NUM_STEPS,
-                device=device, mc_batch_size=MC_BATCH)
-            print(f"[parity] {tag} sampled in {time.time()-t0:.0f}s",
-                  flush=True)
+            xs, ys = [], []
+            for ci in range(n_chunks):
+                cpath = f"outputs/chunks_{tag}_{ci:03d}.npz"
+                if os.path.exists(cpath):
+                    z = np.load(cpath)
+                    xs.append(z["x"])
+                    ys.append(z["y"])
+                    continue
+                print(f"[parity] sampling {tag} chunk {ci+1}/{n_chunks} ...",
+                      flush=True)
+                set_seed(1234 + ci)
+                t0 = time.time()
+                cx, cy = sample_bimodal_guided(
+                    fm_x=fm_x, fm_y=fm_y,
+                    ratio_estimator=None if method == "none" else ratio,
+                    guidance_method=method, guidance_strength=gamma,
+                    num_samples=CHUNK, num_steps=NUM_STEPS,
+                    device=device, mc_batch_size=MC_BATCH)
+                print(f"[parity] {tag} chunk {ci+1}/{n_chunks} sampled in "
+                      f"{time.time()-t0:.0f}s", flush=True)
+                np.savez_compressed(cpath, x=cx.numpy(), y=cy.numpy())
+                xs.append(cx.numpy())
+                ys.append(cy.numpy())
+            sx = torch.from_numpy(np.concatenate(xs, axis=0))
+            sy = torch.from_numpy(np.concatenate(ys, axis=0))
             np.savez_compressed(npz_path, x=sx.numpy(), y=sy.numpy())
         metrics = evaluate_coherence(sx, sy, classifier, device, TRANSFORM)
         results.append({
