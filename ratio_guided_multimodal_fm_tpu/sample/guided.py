@@ -192,6 +192,11 @@ class GuidedSamplerConfig:
     # "auto" = Pallas on TPU when the MC axis is not sharded,
     # "interpret" = Pallas in interpret mode (CPU tests only).
     use_pallas: object = False
+    # lax.scan unroll factor for the ODE loops (phase A + main loop).
+    # Unrolling trades compile time/program size for fewer per-iteration
+    # fixed costs — matters on this workload because each step is ~40 tiny
+    # conv ops (see bench.py's unroll sweep). 1 = no unrolling.
+    scan_unroll: int = 1
 
 
 def _resolve_pallas(cfg: "GuidedSamplerConfig",
@@ -334,8 +339,10 @@ def make_guided_sampler_p(
                                    jnp.float32)
             y0 = jax.random.normal(kmy, (cfg.mc_batch_size,) + cfg.y_shape,
                                    jnp.float32)
-            mc_x1 = euler_scan(fm_x_fn, x0, num_steps)
-            mc_y1 = euler_scan(fm_y_fn, y0, num_steps)
+            mc_x1 = euler_scan(fm_x_fn, x0, num_steps,
+                               unroll=cfg.scan_unroll)
+            mc_y1 = euler_scan(fm_y_fn, y0, num_steps,
+                               unroll=cfg.scan_unroll)
             log_r = log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32)
             if cfg.log_ratio_clip is not None:
                 log_r = jnp.clip(log_r, -cfg.log_ratio_clip,
@@ -345,7 +352,8 @@ def make_guided_sampler_p(
         step = _make_guided_step(fm_x_fn, fm_y_fn, cfg, log_ratio_fn,
                                  mc_set, mc_axis)
         (x_t, y_t), diags = jax.lax.scan(step, (x_t, y_t),
-                                         jnp.arange(num_steps))
+                                         jnp.arange(num_steps),
+                                         unroll=cfg.scan_unroll)
         return x_t, y_t, diags
 
     return sampler
