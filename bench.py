@@ -84,16 +84,29 @@ def _build_sampler(scan_unroll: int = 1, method: str = "mc_feng"):
     return sampler, params
 
 
+def _sync(out):
+    """Execution barrier that actually works on the axon backend.
+
+    jax.block_until_ready returns ~immediately there (measured: 'blocked'
+    in 1.7ms while the execution needed 171s to produce bytes) — so every
+    timing must drain through a host readback of a value that depends on
+    the computation. A device-side scalar reduce keeps the transfer tiny.
+    """
+    import jax.numpy as jnp
+
+    return float(jnp.sum(out[0][:1]))
+
+
 def _time_config(sampler, params, batch: int, reps: int = 3):
     import jax
 
-    out = sampler(params, jax.random.PRNGKey(1), batch)
-    jax.block_until_ready(out)
+    for w in range(2):  # 2 warmups: compile/load on the 1st, caches on 2nd
+        _sync(sampler(params, jax.random.PRNGKey(1 + w), batch))
     times = []
     for i in range(reps):
         t0 = time.perf_counter()
-        out = sampler(params, jax.random.PRNGKey(2 + i), batch)
-        jax.block_until_ready(out)
+        out = sampler(params, jax.random.PRNGKey(3 + i), batch)
+        _sync(out)
         times.append(time.perf_counter() - t0)
     return min(times)
 
@@ -168,12 +181,12 @@ def run_tpu_bench() -> dict:
         lambda y, t: fm_s.apply({"params": ps}, y, t),
         lambda x, y: ratio.apply(rv, x, y, method=ratio.log_ratio),
         jax.random.PRNGKey(7), MC_BATCH, (32, 32, 1), (32, 32, 3), NUM_STEPS)
-    mc = jax.block_until_ready(mc)
-    out = sampler_p(params_p, jax.random.PRNGKey(1), HEADLINE_B, mc)
-    jax.block_until_ready(out)
+    _sync((mc[0],))
+    for w in range(2):
+        _sync(sampler_p(params_p, jax.random.PRNGKey(1 + w), HEADLINE_B, mc))
     t0 = time.perf_counter()
-    out = sampler_p(params_p, jax.random.PRNGKey(2), HEADLINE_B, mc)
-    jax.block_until_ready(out)
+    out = sampler_p(params_p, jax.random.PRNGKey(9), HEADLINE_B, mc)
+    _sync(out)
     t_main = time.perf_counter() - t0
     t_full = best_t
     details["phase_split_B512_sec"] = {

@@ -28,6 +28,7 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ratio_guided_multimodal_fm_tpu.cli.common import add_common_flags, dtype_of
@@ -55,7 +56,11 @@ class SamplerService:
             self._mc_set = generate_mc_set(
                 fm_x_fn, fm_y_fn, log_ratio_fn, jax.random.PRNGKey(seed),
                 mc_batch_size, self.x_shape, self.y_shape, num_steps)
-            self._mc_set = jax.block_until_ready(self._mc_set)
+            # np.asarray readback = real barrier (block_until_ready
+            # returns early on the axon TPU backend); keeps the MC set
+            # materialized before the server accepts traffic.
+            self._mc_set = tuple(jnp.asarray(np.asarray(a))
+                                 for a in self._mc_set)
         self.mc_batch_size = mc_batch_size
 
     def _sampler(self, method, strength):
@@ -76,7 +81,7 @@ class SamplerService:
             s = self._sampler(m, 0.5 if m != "none" else 0.0)
             out = s(jax.random.PRNGKey(0), self.batch_size,
                     self._mc_set if m == "mc_feng" else None)
-            jax.block_until_ready(out)
+            np.asarray(out[0])  # real barrier (see __init__ note)
 
     def sample(self, n, method="none", strength=0.0, seed=0):
         """Fulfill the FULL request by looping the compiled fixed-batch

@@ -51,13 +51,18 @@ def timeit_scanned(step_fn, x_t, y_t, *rest):
                                    jnp.arange(SCAN_ITERS))
         return xf, yf
 
-    out = run(x_t, y_t, *rest)
-    jax.block_until_ready(out)
+    def sync(o):
+        # host readback of a dependent scalar = the only reliable
+        # barrier on the axon backend (block_until_ready returns early)
+        return float(jnp.sum(o[0][:1]))
+
+    sync(run(x_t, y_t, *rest))
+    sync(run(x_t, y_t, *rest))
     ts = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         out = run(x_t, y_t, *rest)
-        jax.block_until_ready(out)
+        sync(out)
         ts.append(time.perf_counter() - t0)
     return min(ts) / SCAN_ITERS
 

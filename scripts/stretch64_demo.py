@@ -150,7 +150,9 @@ def main():
         t0 = time.time()
         xs, ys, _ = sampler((sx.params, sy.params, rs.params),
                             jax.random.PRNGKey(9), 64)
-        xs, ys = jax.block_until_ready((xs, ys))
+        # np.asarray (host readback) is the execution barrier:
+        # block_until_ready returns early on the axon TPU backend.
+        xs, ys = np.asarray(xs), np.asarray(ys)
         dt = time.time() - t0
         path = f"outputs/stretch64/samples_{method}_gamma{gamma}.png"
         visualize_pairs_mnist_svhn(xs[:32], ys[:32], path,

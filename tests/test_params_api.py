@@ -61,6 +61,27 @@ def test_params_api_equals_closure_api():
     assert (ess[1:] >= 1.0 - 1e-3).all() and (ess <= cfg.mc_batch_size + 1e-3).all()
 
 
+def test_scan_unroll_preserves_trajectories():
+    """Unrolling the ODE scans is a pure scheduling choice — outputs must
+    be identical (same op sequence, same RNG) to the rolled program."""
+    model, params, log_ratio, cfg = _setup()
+    key = jax.random.PRNGKey(7)
+
+    def run(unroll):
+        cfg_u = GuidedSamplerConfig(
+            **{**cfg.__dict__, "scan_unroll": unroll})
+        s = jax.jit(make_guided_sampler_p(
+            lambda p, x, t: model.apply({"params": p}, x, t),
+            lambda p, y, t: model.apply({"params": p}, y, t),
+            cfg_u, lambda v, x, y: log_ratio(x, y)), static_argnums=(2,))
+        return s((params, params, None), key, 4)
+
+    x1, y1, _ = run(1)
+    x4, y4, _ = run(4)
+    np.testing.assert_allclose(np.asarray(x4), np.asarray(x1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(y1), rtol=1e-6)
+
+
 def test_ess_floor_damps_collapsed_guidance():
     """A spiky ratio (one dominant MC sample) collapses the weights
     (ESS→1); with an ESS floor the sampler must fall back toward the
