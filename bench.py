@@ -197,6 +197,48 @@ def run_tpu_bench() -> dict:
     details["serving_steady_state_samples_per_sec"] = round(
         HEADLINE_B / t_main, 1)
 
+    # Train-step throughput (BASELINE.json: "FM+ratio train steps/sec"),
+    # B=128 like the reference's training defaults.
+    from ratio_guided_multimodal_fm_tpu.train.steps import (
+        create_fm_state,
+        create_ratio_state,
+        make_fm_train_step,
+        make_ratio_train_step,
+    )
+
+    def _train_rate(step_fn, state, args_fn, reps: int = 20):
+        st = state
+        for w in range(3):  # compile + warm
+            st, aux = step_fn(st, *args_fn(w))
+            _sync((aux["loss"][None] if isinstance(aux, dict)
+                   else jnp.asarray(aux)[None],))
+        t0 = time.perf_counter()
+        for i in range(reps):
+            st, aux = step_fn(st, *args_fn(3 + i))
+        _sync((aux["loss"][None] if isinstance(aux, dict)
+               else jnp.asarray(aux)[None],))
+        return reps / (time.perf_counter() - t0)
+
+    kb = jax.random.PRNGKey(11)
+    fm_state = create_fm_state(fm_s, jax.random.PRNGKey(12), (32, 32, 3),
+                               lr=1e-4)
+    fm_step = make_fm_train_step(fm_s)
+    xb = jax.random.normal(kb, (128, 32, 32, 3), jnp.float32)
+    details["train_steps_per_sec"] = {
+        "fm_svhn_B128": round(_train_rate(
+            fm_step, fm_state,
+            lambda i: (xb, jax.random.PRNGKey(100 + i))), 1),
+    }
+    ratio_state = create_ratio_state(ratio, jax.random.PRNGKey(13),
+                                     (32, 32, 1), (32, 32, 3), lr=1e-4)
+    ratio_step = make_ratio_train_step(ratio, "disc")
+    xr = jax.random.normal(kb, (128, 32, 32, 1), jnp.float32)
+    yr = jax.random.normal(kb, (128, 32, 32, 3), jnp.float32)
+    ir = (jnp.arange(128) % 2).astype(jnp.float32)
+    details["train_steps_per_sec"]["ratio_mnist_svhn_B128"] = round(
+        _train_rate(ratio_step, ratio_state,
+                    lambda i: (xr, yr, ir, jax.random.PRNGKey(200 + i))), 1)
+
     headline = sweep[f"B={HEADLINE_B}"]
     details["headline"] = {
         "metric": f"guided pair samples/sec/chip (100 ODE steps, N_mc=256, "
