@@ -230,8 +230,10 @@ def run_tpu_bench() -> dict:
             lambda i: (xb, jax.random.PRNGKey(100 + i))), 1),
     }
     ratio_state = create_ratio_state(ratio, jax.random.PRNGKey(13),
-                                     (32, 32, 1), (32, 32, 3), lr=1e-4)
-    ratio_step = make_ratio_train_step(ratio, "disc")
+                                     (32, 32, 1), (32, 32, 3), lr=1e-4,
+                                     has_batch_stats=True)
+    ratio_step = make_ratio_train_step(ratio, "disc",
+                                   has_batch_stats=True)
     xr = jax.random.normal(kb, (128, 32, 32, 1), jnp.float32)
     yr = jax.random.normal(kb, (128, 32, 32, 3), jnp.float32)
     ir = (jnp.arange(128) % 2).astype(jnp.float32)
