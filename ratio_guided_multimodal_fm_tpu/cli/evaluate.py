@@ -53,6 +53,14 @@ def main(argv=None):
     parser.add_argument("--ess_floor", type=float, default=None,
                         help="Adaptive guidance: per-trajectory gamma_eff = "
                              "gamma*min(1, ESS/ess_floor)")
+    parser.add_argument("--eval_chunks", type=int, default=1,
+                        help="Split sampling into N chunks, each with a "
+                             "FRESH MC set. Default 1 = reference parity "
+                             "(one shared set). Measured (ROUND2.md): when "
+                             "the ratio net is saturated, guidance quality "
+                             "tracks MC candidates per trajectory; chunking "
+                             "multiplies the candidate pool without growing "
+                             "device memory.")
     parser.add_argument("--fid", action="store_true",
                         help="Also compute classifier-FID vs real data")
     parser.add_argument("--save_samples", action="store_true",
@@ -116,9 +124,11 @@ def main(argv=None):
 
             # MC set is strength-independent: generate once per method and
             # reuse across the gamma sweep (saves ~70% per config, exact
-            # under the fixed seed the reference uses anyway).
+            # under the fixed seed the reference uses anyway). With
+            # --eval_chunks > 1 each chunk instead draws its own fresh set.
+            n_chunks = max(1, args.eval_chunks)
             mc_set = None
-            if method == "mc_feng":
+            if method == "mc_feng" and n_chunks == 1:
                 if method not in mc_cache:
                     mc_cache[method] = generate_mc_set(
                         velocity_fn(model, params_x),
@@ -127,15 +137,38 @@ def main(argv=None):
                         args.num_steps, log_ratio_clip=args.ratio_clip)
                 mc_set = mc_cache[method]
 
-            print(f"  Sampling {args.num_samples} pairs...")
-            samples_x, samples_y, diags = sample_bimodal_guided(
-                velocity_fn(model, params_x), velocity_fn(model, params_y),
-                log_ratio_fn=log_ratio, guidance_method=method,
-                guidance_strength=strength, num_samples=args.num_samples,
-                num_steps=args.num_steps, mc_batch_size=args.mc_batch_size,
-                x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key,
-                mc_set=mc_set, ess_floor=args.ess_floor,
-                return_diagnostics=True)
+            print(f"  Sampling {args.num_samples} pairs"
+                  + (f" in {n_chunks} chunks..." if n_chunks > 1 else "..."))
+            base, extra = divmod(args.num_samples, n_chunks)
+            xs_acc, ys_acc = [], []
+            for ci in range(n_chunks):
+                ck = jax.random.fold_in(key, ci) if n_chunks > 1 else key
+                mc_ci = mc_set
+                if method == "mc_feng" and n_chunks > 1:
+                    mc_ci = generate_mc_set(
+                        velocity_fn(model, params_x),
+                        velocity_fn(model, params_y), log_ratio,
+                        jax.random.fold_in(ck, 7), args.mc_batch_size,
+                        (28, 28, 1), (28, 28, 1), args.num_steps,
+                        log_ratio_clip=args.ratio_clip)
+                n_i = base + (1 if ci < extra else 0)
+                if n_i == 0:
+                    continue
+                sx, sy, diags = sample_bimodal_guided(
+                    velocity_fn(model, params_x),
+                    velocity_fn(model, params_y),
+                    log_ratio_fn=log_ratio, guidance_method=method,
+                    guidance_strength=strength, num_samples=n_i,
+                    num_steps=args.num_steps,
+                    mc_batch_size=args.mc_batch_size,
+                    x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=ck,
+                    mc_set=mc_ci, ess_floor=args.ess_floor,
+                    return_diagnostics=True)
+                xs_acc.append(sx)
+                ys_acc.append(sy)
+            samples_x = jnp.concatenate(xs_acc)
+            samples_y = jnp.concatenate(ys_acc)
+            # diagnostics reported for the last chunk (layout is per-call)
             diag_rows = report_guidance_diagnostics(diags, args.num_steps)
 
             metrics = evaluate_coherence(samples_x, samples_y, classify,

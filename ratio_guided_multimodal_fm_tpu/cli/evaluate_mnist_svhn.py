@@ -54,6 +54,10 @@ def main(argv=None):
     parser.add_argument("--ess_floor", type=float, default=None,
                         help="Adaptive guidance: per-trajectory gamma_eff = "
                              "gamma*min(1, ESS/ess_floor)")
+    parser.add_argument("--eval_chunks", type=int, default=1,
+                        help="Split sampling into N chunks, each with "
+                             "a FRESH MC set (1 = reference parity; "
+                             "see cli/evaluate.py)")
     parser.add_argument("--fid", action="store_true",
                         help="Also compute classifier-FID vs real data")
     add_common_flags(parser)
@@ -103,9 +107,11 @@ def main(argv=None):
                 continue
             print(f"\n{'='*60}\nEvaluating: method={method}, "
                   f"gamma={strength}\n{'='*60}")
-            # MC set is strength-independent: one per method (see evaluate.py)
+            # MC set is strength-independent: one per method (see
+            # evaluate.py); with --eval_chunks > 1 each chunk draws fresh.
+            n_chunks = max(1, getattr(args, "eval_chunks", 1))
             mc_set = None
-            if method == "mc_feng":
+            if method == "mc_feng" and n_chunks == 1:
                 if method not in mc_cache:
                     mc_cache[method] = generate_mc_set(
                         velocity_fn(fm_m, params_m),
@@ -113,16 +119,36 @@ def main(argv=None):
                         args.mc_batch_size, (32, 32, 1), (32, 32, 3),
                         args.num_steps, log_ratio_clip=args.ratio_clip)
                 mc_set = mc_cache[method]
-            print(f"  Sampling {args.num_samples} pairs...")
-            samples_x, samples_y, diags = sample_bimodal_guided(
-                velocity_fn(fm_m, params_m), velocity_fn(fm_s, params_s),
-                log_ratio_fn=log_ratio if method != "none" else None,
-                guidance_method=method, guidance_strength=strength,
-                num_samples=args.num_samples, num_steps=args.num_steps,
-                mc_batch_size=args.mc_batch_size,
-                x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=key,
-                mc_set=mc_set, ess_floor=args.ess_floor,
-                return_diagnostics=True)
+            print(f"  Sampling {args.num_samples} pairs"
+                  + (f" in {n_chunks} chunks..." if n_chunks > 1 else "..."))
+            base, extra = divmod(args.num_samples, n_chunks)
+            xs_acc, ys_acc = [], []
+            for ci in range(n_chunks):
+                ck = jax.random.fold_in(key, ci) if n_chunks > 1 else key
+                mc_ci = mc_set
+                if method == "mc_feng" and n_chunks > 1:
+                    mc_ci = generate_mc_set(
+                        velocity_fn(fm_m, params_m),
+                        velocity_fn(fm_s, params_s), log_ratio,
+                        jax.random.fold_in(ck, 7), args.mc_batch_size,
+                        (32, 32, 1), (32, 32, 3), args.num_steps,
+                        log_ratio_clip=args.ratio_clip)
+                n_i = base + (1 if ci < extra else 0)
+                if n_i == 0:
+                    continue
+                sx, sy, diags = sample_bimodal_guided(
+                    velocity_fn(fm_m, params_m), velocity_fn(fm_s, params_s),
+                    log_ratio_fn=log_ratio if method != "none" else None,
+                    guidance_method=method, guidance_strength=strength,
+                    num_samples=n_i, num_steps=args.num_steps,
+                    mc_batch_size=args.mc_batch_size,
+                    x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=ck,
+                    mc_set=mc_ci, ess_floor=args.ess_floor,
+                    return_diagnostics=True)
+                xs_acc.append(sx)
+                ys_acc.append(sy)
+            samples_x = jnp.concatenate(xs_acc)
+            samples_y = jnp.concatenate(ys_acc)
             from ratio_guided_multimodal_fm_tpu.cli.common import (
                 report_guidance_diagnostics,
             )
