@@ -34,6 +34,43 @@ def add_common_flags(p: argparse.ArgumentParser, seed_default: int = 42):
                    choices=["f32", "bf16"],
                    help="Model activation dtype (params stay f32; guidance "
                         "weight math is always f32)")
+    # Multi-host scaffolding (SURVEY §5.8; parallel/multihost.py). All
+    # default to single-process; env vars RGMF_COORDINATOR /
+    # RGMF_NUM_PROCESSES / RGMF_PROCESS_ID work too.
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (multi-host runs)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="total number of host processes")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's index in [0, num_processes)")
+    p.add_argument("--no_prefetch", action="store_true",
+                   help="disable the background device-prefetch input "
+                        "pipeline (data/prefetch.py)")
+
+
+def init_runtime(args):
+    """Per-CLI runtime setup: multi-host init (no-op single-process).
+    Returns (process_index, process_count)."""
+    from ratio_guided_multimodal_fm_tpu.parallel.multihost import (
+        maybe_init_distributed,
+    )
+
+    maybe_init_distributed(
+        getattr(args, "coordinator_address", None),
+        getattr(args, "num_processes", None),
+        getattr(args, "process_id", None))
+    import jax as _jax
+
+    return _jax.process_index(), _jax.process_count()
+
+
+def wrap_loader(loader, args, depth: int = 2):
+    """Apply the background device-prefetch wrapper unless --no_prefetch."""
+    if getattr(args, "no_prefetch", False):
+        return loader
+    from ratio_guided_multimodal_fm_tpu.data.prefetch import PrefetchLoader
+
+    return PrefetchLoader(loader, depth)
 
 
 def dtype_of(args):

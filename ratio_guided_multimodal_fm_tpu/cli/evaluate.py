@@ -25,6 +25,10 @@ from ratio_guided_multimodal_fm_tpu.cli.common import (
 )
 from ratio_guided_multimodal_fm_tpu.core.prng import set_seed
 from ratio_guided_multimodal_fm_tpu.data.mnist_dataset import get_classifier_dataloader
+from ratio_guided_multimodal_fm_tpu.eval.chunked import (
+    DEFAULT_AUTO_CHUNKS,
+    sample_in_chunks,
+)
 from ratio_guided_multimodal_fm_tpu.eval.coherence import evaluate_coherence
 from ratio_guided_multimodal_fm_tpu.eval.fid import compute_fid
 from ratio_guided_multimodal_fm_tpu.models import MNISTClassifier, RatioEstimatorMNIST
@@ -53,14 +57,18 @@ def main(argv=None):
     parser.add_argument("--ess_floor", type=float, default=None,
                         help="Adaptive guidance: per-trajectory gamma_eff = "
                              "gamma*min(1, ESS/ess_floor)")
-    parser.add_argument("--eval_chunks", type=int, default=1,
-                        help="Split sampling into N chunks, each with a "
-                             "FRESH MC set. Default 1 = reference parity "
-                             "(one shared set). Measured (ROUND2.md): when "
-                             "the ratio net is saturated, guidance quality "
-                             "tracks MC candidates per trajectory; chunking "
-                             "multiplies the candidate pool without growing "
-                             "device memory.")
+    parser.add_argument("--eval_chunks", type=str, default="auto",
+                        help="'auto' (default): chunked sampling with a "
+                             "FRESH MC set per chunk — candidates-per-"
+                             "trajectory controls guided quality and this "
+                             "matches the reference protocol, which "
+                             "regenerates its MC set every call "
+                             "(eval/chunked.py). An integer forces that "
+                             "many chunks (1 = round-2 single-shared-set "
+                             "protocol).")
+    parser.add_argument("--auto_chunks", type=int,
+                        default=DEFAULT_AUTO_CHUNKS,
+                        help="Number of chunks in 'auto' mode (default 4)")
     parser.add_argument("--fid", action="store_true",
                         help="Also compute classifier-FID vs real data")
     parser.add_argument("--save_samples", action="store_true",
@@ -122,54 +130,39 @@ def main(argv=None):
                     continue
                 log_ratio = ratio_log_fn(ratio, {"params": r_params})
 
-            # MC set is strength-independent: generate once per method and
-            # reuse across the gamma sweep (saves ~70% per config, exact
-            # under the fixed seed the reference uses anyway). With
-            # --eval_chunks > 1 each chunk instead draws its own fresh set.
-            n_chunks = max(1, args.eval_chunks)
-            mc_set = None
-            if method == "mc_feng" and n_chunks == 1:
-                if method not in mc_cache:
-                    mc_cache[method] = generate_mc_set(
+            # MC sets are strength-independent: one cache per method reused
+            # across the gamma sweep (saves ~70% per config) — including
+            # the per-chunk fresh sets (default policy: fresh set per
+            # chunk, eval/chunked.py).
+            make_mc = None
+            if method == "mc_feng":
+                def make_mc(k, _lr=log_ratio):
+                    return generate_mc_set(
                         velocity_fn(model, params_x),
-                        velocity_fn(model, params_y), log_ratio, key,
+                        velocity_fn(model, params_y), _lr, k,
                         args.mc_batch_size, (28, 28, 1), (28, 28, 1),
                         args.num_steps, log_ratio_clip=args.ratio_clip)
-                mc_set = mc_cache[method]
 
-            print(f"  Sampling {args.num_samples} pairs"
-                  + (f" in {n_chunks} chunks..." if n_chunks > 1 else "..."))
-            base, extra = divmod(args.num_samples, n_chunks)
-            xs_acc, ys_acc = [], []
-            for ci in range(n_chunks):
-                ck = jax.random.fold_in(key, ci) if n_chunks > 1 else key
-                mc_ci = mc_set
-                if method == "mc_feng" and n_chunks > 1:
-                    mc_ci = generate_mc_set(
-                        velocity_fn(model, params_x),
-                        velocity_fn(model, params_y), log_ratio,
-                        jax.random.fold_in(ck, 7), args.mc_batch_size,
-                        (28, 28, 1), (28, 28, 1), args.num_steps,
-                        log_ratio_clip=args.ratio_clip)
-                n_i = base + (1 if ci < extra else 0)
-                if n_i == 0:
-                    continue
-                sx, sy, diags = sample_bimodal_guided(
+            def sample_chunk(ck, n_i, mc_ci, _lr=log_ratio,
+                             _m=method, _g=strength):
+                return sample_bimodal_guided(
                     velocity_fn(model, params_x),
                     velocity_fn(model, params_y),
-                    log_ratio_fn=log_ratio, guidance_method=method,
-                    guidance_strength=strength, num_samples=n_i,
+                    log_ratio_fn=_lr, guidance_method=_m,
+                    guidance_strength=_g, num_samples=n_i,
                     num_steps=args.num_steps,
                     mc_batch_size=args.mc_batch_size,
                     x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=ck,
                     mc_set=mc_ci, ess_floor=args.ess_floor,
                     return_diagnostics=True)
-                xs_acc.append(sx)
-                ys_acc.append(sy)
-            samples_x = jnp.concatenate(xs_acc)
-            samples_y = jnp.concatenate(ys_acc)
-            # diagnostics reported for the last chunk (layout is per-call)
-            diag_rows = report_guidance_diagnostics(diags, args.num_steps)
+
+            print(f"  Sampling {args.num_samples} pairs...")
+            samples_x, samples_y, merged_diags, chunk_info = sample_in_chunks(
+                sample_chunk, make_mc, args.num_samples, key,
+                eval_chunks=args.eval_chunks,
+                auto_chunks=args.auto_chunks,
+                mc_cache=mc_cache.setdefault(method, {}))
+            report_guidance_diagnostics(merged_diags, args.num_steps)
 
             metrics = evaluate_coherence(samples_x, samples_y, classify,
                                          args.transform_type)
@@ -179,12 +172,14 @@ def main(argv=None):
                 "transform_type": args.transform_type,
                 "coherence_acc": metrics["coherence_acc"],
                 "num_samples": metrics["num_samples"],
+                "label_entropy_x": metrics["label_entropy_x"],
+                "label_entropy_y": metrics["label_entropy_y"],
             }
-            if diag_rows and "ess_mean" in diag_rows[-1]:
-                result["ess_final_mean"] = diag_rows[-1]["ess_mean"]
-                result["ess_final_min"] = diag_rows[-1]["ess_min"]
-                result["ess_trajectory_min"] = min(
-                    r["ess_min"] for r in diag_rows[1:])
+            for k in ("n_chunks", "chunk_policy", "mc_set_ess",
+                      "ess_final_mean", "ess_final_min",
+                      "ess_trajectory_min", "ess_trajectory_mean"):
+                if k in chunk_info:
+                    result[k] = chunk_info[k]
             if args.fid and real_images is not None:
                 # "classifier_fid": Frechet distance on eval-classifier
                 # features, NOT Inception-FID (eval/fid.py docstring).

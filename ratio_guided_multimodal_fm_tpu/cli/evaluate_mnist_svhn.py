@@ -26,6 +26,10 @@ from ratio_guided_multimodal_fm_tpu.data.mnist_svhn import (
     get_mnist32_flow_dataloader,
     get_svhn_flow_dataloader,
 )
+from ratio_guided_multimodal_fm_tpu.eval.chunked import (
+    DEFAULT_AUTO_CHUNKS,
+    sample_in_chunks,
+)
 from ratio_guided_multimodal_fm_tpu.eval.coherence import evaluate_coherence_dual
 from ratio_guided_multimodal_fm_tpu.eval.fid import compute_fid
 from ratio_guided_multimodal_fm_tpu.models import MNISTClassifier32, SVHNClassifier
@@ -54,10 +58,14 @@ def main(argv=None):
     parser.add_argument("--ess_floor", type=float, default=None,
                         help="Adaptive guidance: per-trajectory gamma_eff = "
                              "gamma*min(1, ESS/ess_floor)")
-    parser.add_argument("--eval_chunks", type=int, default=1,
-                        help="Split sampling into N chunks, each with "
-                             "a FRESH MC set (1 = reference parity; "
-                             "see cli/evaluate.py)")
+    parser.add_argument("--eval_chunks", type=str, default="auto",
+                        help="'auto' (default): chunked sampling with a "
+                             "fresh MC set per chunk (see cli/evaluate.py);"
+                             " an integer forces that many chunks (1 = "
+                             "round-2 single-shared-set protocol)")
+    parser.add_argument("--auto_chunks", type=int,
+                        default=DEFAULT_AUTO_CHUNKS,
+                        help="Number of chunks in 'auto' mode (default 4)")
     parser.add_argument("--fid", action="store_true",
                         help="Also compute classifier-FID vs real data")
     add_common_flags(parser)
@@ -107,52 +115,39 @@ def main(argv=None):
                 continue
             print(f"\n{'='*60}\nEvaluating: method={method}, "
                   f"gamma={strength}\n{'='*60}")
-            # MC set is strength-independent: one per method (see
-            # evaluate.py); with --eval_chunks > 1 each chunk draws fresh.
-            n_chunks = max(1, getattr(args, "eval_chunks", 1))
-            mc_set = None
-            if method == "mc_feng" and n_chunks == 1:
-                if method not in mc_cache:
-                    mc_cache[method] = generate_mc_set(
+            # MC sets are strength-independent: one cache per method
+            # reused across the gamma sweep; default policy = fresh set
+            # per chunk (see cli/evaluate.py and eval/chunked.py).
+            make_mc = None
+            if method == "mc_feng":
+                def make_mc(k, _lr=log_ratio):
+                    return generate_mc_set(
                         velocity_fn(fm_m, params_m),
-                        velocity_fn(fm_s, params_s), log_ratio, key,
+                        velocity_fn(fm_s, params_s), _lr, k,
                         args.mc_batch_size, (32, 32, 1), (32, 32, 3),
                         args.num_steps, log_ratio_clip=args.ratio_clip)
-                mc_set = mc_cache[method]
-            print(f"  Sampling {args.num_samples} pairs"
-                  + (f" in {n_chunks} chunks..." if n_chunks > 1 else "..."))
-            base, extra = divmod(args.num_samples, n_chunks)
-            xs_acc, ys_acc = [], []
-            for ci in range(n_chunks):
-                ck = jax.random.fold_in(key, ci) if n_chunks > 1 else key
-                mc_ci = mc_set
-                if method == "mc_feng" and n_chunks > 1:
-                    mc_ci = generate_mc_set(
-                        velocity_fn(fm_m, params_m),
-                        velocity_fn(fm_s, params_s), log_ratio,
-                        jax.random.fold_in(ck, 7), args.mc_batch_size,
-                        (32, 32, 1), (32, 32, 3), args.num_steps,
-                        log_ratio_clip=args.ratio_clip)
-                n_i = base + (1 if ci < extra else 0)
-                if n_i == 0:
-                    continue
-                sx, sy, diags = sample_bimodal_guided(
+
+            def sample_chunk(ck, n_i, mc_ci, _m=method, _g=strength):
+                return sample_bimodal_guided(
                     velocity_fn(fm_m, params_m), velocity_fn(fm_s, params_s),
-                    log_ratio_fn=log_ratio if method != "none" else None,
-                    guidance_method=method, guidance_strength=strength,
+                    log_ratio_fn=log_ratio if _m != "none" else None,
+                    guidance_method=_m, guidance_strength=_g,
                     num_samples=n_i, num_steps=args.num_steps,
                     mc_batch_size=args.mc_batch_size,
                     x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=ck,
                     mc_set=mc_ci, ess_floor=args.ess_floor,
                     return_diagnostics=True)
-                xs_acc.append(sx)
-                ys_acc.append(sy)
-            samples_x = jnp.concatenate(xs_acc)
-            samples_y = jnp.concatenate(ys_acc)
+
+            print(f"  Sampling {args.num_samples} pairs...")
+            samples_x, samples_y, merged_diags, chunk_info = sample_in_chunks(
+                sample_chunk, make_mc, args.num_samples, key,
+                eval_chunks=args.eval_chunks,
+                auto_chunks=args.auto_chunks,
+                mc_cache=mc_cache.setdefault(method, {}))
             from ratio_guided_multimodal_fm_tpu.cli.common import (
                 report_guidance_diagnostics,
             )
-            diag_rows = report_guidance_diagnostics(diags, args.num_steps)
+            report_guidance_diagnostics(merged_diags, args.num_steps)
 
             metrics = evaluate_coherence_dual(samples_x, samples_y,
                                               classify_m, classify_s)
@@ -161,11 +156,14 @@ def main(argv=None):
                 "guidance_strength": strength,
                 "coherence_acc": metrics["coherence_acc"],
                 "num_samples": metrics["num_samples"],
+                "label_entropy_x": metrics["label_entropy_x"],
+                "label_entropy_y": metrics["label_entropy_y"],
             }
-            if diag_rows and "ess_mean" in diag_rows[-1]:
-                result["ess_final_mean"] = diag_rows[-1]["ess_mean"]
-                result["ess_trajectory_min"] = min(
-                    r["ess_min"] for r in diag_rows[1:])
+            for k in ("n_chunks", "chunk_policy", "mc_set_ess",
+                      "ess_final_mean", "ess_final_min",
+                      "ess_trajectory_min", "ess_trajectory_mean"):
+                if k in chunk_info:
+                    result[k] = chunk_info[k]
             if args.fid:
                 # classifier-feature Frechet distance, not Inception-FID
                 result["classifier_fid_mnist"] = compute_fid(

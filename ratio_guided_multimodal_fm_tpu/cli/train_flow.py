@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from ratio_guided_multimodal_fm_tpu.cli.common import (
+    init_runtime,
+    wrap_loader,
     add_common_flags,
     count_params,
     fm_model,
@@ -51,14 +53,15 @@ def main(argv=None):
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
+    init_runtime(args)
     set_seed(args.seed)
     print(f"Random seed: {args.seed}")
     print(f"Backend: {jax.default_backend()}")
 
     transform_for_loader = args.transform_type if args.modality == "y" else None
-    loader = get_flow_dataloader(transform_type=transform_for_loader,
-                                 batch_size=args.batch_size, train=True,
-                                 root=args.data_root, seed=args.seed)
+    loader = wrap_loader(get_flow_dataloader(
+        transform_type=transform_for_loader, batch_size=args.batch_size,
+        train=True, root=args.data_root, seed=args.seed), args)
     print(f"Training modality: {args.modality}")
     if args.modality == "y":
         print(f"Transform type: {args.transform_type}")

@@ -11,7 +11,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ratio_guided_multimodal_fm_tpu.cli.common import add_common_flags, count_params
+from ratio_guided_multimodal_fm_tpu.cli.common import (
+    init_runtime,
+    wrap_loader,
+    add_common_flags, count_params
+)
 from ratio_guided_multimodal_fm_tpu.core.prng import RNG, set_seed
 from ratio_guided_multimodal_fm_tpu.data.mnist_svhn import get_mnist32_flow_dataloader
 from ratio_guided_multimodal_fm_tpu.models import FlowMatchingUNetMNIST
@@ -95,10 +99,11 @@ def main(argv=None):
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
+    init_runtime(args)
     set_seed(args.seed)
     print(f"Random seed: {args.seed}")
-    loader = get_mnist32_flow_dataloader(args.batch_size, True, args.data_root,
-                                         seed=args.seed)
+    loader = wrap_loader(get_mnist32_flow_dataloader(
+        args.batch_size, True, args.data_root, seed=args.seed), args)
     model = FlowMatchingUNetMNIST(img_size=32)
     run_flow_training(model, (32, 32, 1), loader, args, "flow_mnist32")
 

@@ -9,7 +9,11 @@ from __future__ import annotations
 
 import argparse
 
-from ratio_guided_multimodal_fm_tpu.cli.common import add_common_flags
+from ratio_guided_multimodal_fm_tpu.cli.common import (
+    init_runtime,
+    wrap_loader,
+    add_common_flags
+)
 from ratio_guided_multimodal_fm_tpu.cli.train_flow_mnist32 import run_flow_training
 from ratio_guided_multimodal_fm_tpu.core.prng import set_seed
 from ratio_guided_multimodal_fm_tpu.data.mnist_svhn import get_svhn_flow_dataloader
@@ -29,10 +33,11 @@ def main(argv=None):
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
+    init_runtime(args)
     set_seed(args.seed)
     print(f"Random seed: {args.seed}")
-    loader = get_svhn_flow_dataloader(args.batch_size, True, args.data_root,
-                                      seed=args.seed)
+    loader = wrap_loader(get_svhn_flow_dataloader(
+        args.batch_size, True, args.data_root, seed=args.seed), args)
     model = FlowMatchingUNetSVHN()
     run_flow_training(model, (32, 32, 3), loader, args, "flow_svhn")
 

@@ -11,13 +11,18 @@ import argparse
 import jax
 import numpy as np
 
-from ratio_guided_multimodal_fm_tpu.cli.common import add_common_flags, count_params
+from ratio_guided_multimodal_fm_tpu.cli.common import (
+    init_runtime,
+    wrap_loader,
+    add_common_flags, count_params
+)
 from ratio_guided_multimodal_fm_tpu.core.prng import RNG, set_seed
 from ratio_guided_multimodal_fm_tpu.data.mnist_dataset import get_ratio_dataloader
 from ratio_guided_multimodal_fm_tpu.models import RatioEstimatorMNIST
 from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
     get_checkpoint_path,
     save_checkpoint,
+    wait_for_saves,
 )
 from ratio_guided_multimodal_fm_tpu.train.loop import EarlyStopper
 from ratio_guided_multimodal_fm_tpu.train.steps import (
@@ -41,13 +46,14 @@ def main(argv=None):
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
+    init_runtime(args)
     set_seed(args.seed)
     print(f"Random seed: {args.seed}")
 
-    loader = get_ratio_dataloader(
+    loader = wrap_loader(get_ratio_dataloader(
         transform_type=args.transform_type, batch_size=args.batch_size,
         real_fake_ratio=args.real_fake_ratio, root=args.data_root,
-        seed=args.seed)
+        seed=args.seed), args)
     print(f"Transform type: {args.transform_type}")
     print(f"Loss type: {args.loss_type}")
     print(f"Real/fake ratio: {args.real_fake_ratio}")
@@ -77,16 +83,17 @@ def main(argv=None):
         if stopper.update(avg["loss"]):
             path = get_checkpoint_path("ratio", args.loss_type,
                                        args.transform_type, "best")
-            save_checkpoint(path, state.params)
+            save_checkpoint(path, state.params, async_save=True)
             print(f"  -> Saved best model: {path}")
         if (epoch + 1) % 10 == 0:
             save_checkpoint(get_checkpoint_path(
                 "ratio", args.loss_type, args.transform_type,
-                f"epoch{epoch+1}"), state.params)
+                f"epoch{epoch+1}"), state.params, async_save=True)
         if stopper.should_stop:
             print(f"\nEarly stopping after {epoch+1} epochs (patience=5)")
             break
 
+    wait_for_saves()
     print("\nTraining complete!")
     print(f"Best loss: {stopper.best:.4f}")
 

@@ -12,6 +12,8 @@ import jax
 import numpy as np
 
 from ratio_guided_multimodal_fm_tpu.cli.common import (
+    init_runtime,
+    wrap_loader,
     add_common_flags,
     batch_to_jnp,
     count_params,
@@ -21,7 +23,10 @@ from ratio_guided_multimodal_fm_tpu.data.mnist_svhn import (
     get_mnist_svhn_ratio_dataloader,
 )
 from ratio_guided_multimodal_fm_tpu.models import RatioEstimatorMNISTSVHN
-from ratio_guided_multimodal_fm_tpu.train.checkpoint import save_checkpoint
+from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
+    save_checkpoint,
+    wait_for_saves,
+)
 from ratio_guided_multimodal_fm_tpu.train.loop import EarlyStopper
 from ratio_guided_multimodal_fm_tpu.train.steps import (
     create_ratio_state,
@@ -41,12 +46,13 @@ def main(argv=None):
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
+    init_runtime(args)
     set_seed(args.seed)
     print(f"Random seed: {args.seed}")
 
-    loader = get_mnist_svhn_ratio_dataloader(
+    loader = wrap_loader(get_mnist_svhn_ratio_dataloader(
         batch_size=args.batch_size, real_fake_ratio=args.real_fake_ratio,
-        train=True, root=args.data_root, seed=args.seed)
+        train=True, root=args.data_root, seed=args.seed), args)
 
     model = RatioEstimatorMNISTSVHN(loss_type=args.loss_type)
     state = create_ratio_state(model, jax.random.PRNGKey(args.seed),
@@ -73,16 +79,17 @@ def main(argv=None):
         tree = {"params": state.params, "batch_stats": state.batch_stats}
         if stopper.update(avg["loss"]):
             path = f"checkpoints/ratio_{args.loss_type}_mnist_svhn_best"
-            save_checkpoint(path, tree)
+            save_checkpoint(path, tree, async_save=True)
             print(f"  -> Saved best model: {path}")
         if (epoch + 1) % 10 == 0:
             save_checkpoint(
                 f"checkpoints/ratio_{args.loss_type}_mnist_svhn_epoch{epoch+1}",
-                tree)
+                tree, async_save=True)
         if stopper.should_stop:
             print(f"\nEarly stopping after {epoch+1} epochs (patience=5)")
             break
 
+    wait_for_saves()
     print("\nTraining complete!")
 
 

@@ -1,0 +1,74 @@
+"""Input/compute overlap: background host iteration + device prefetch.
+
+VERDICT r2 §missing-4: the epoch loaders are single-threaded host numpy
+with the host→device transfer happening synchronously inside the train
+step's argument conversion. This wrapper overlaps both with compute:
+
+* a daemon thread runs the underlying iterator (numpy pairing/shuffling)
+  and pushes batches into a bounded queue;
+* each batch is `jax.device_put` as soon as it is produced, so the DMA is
+  in flight while the previous step computes (depth=2 keeps exactly one
+  batch on device ahead of consumption — more buys nothing and pins HBM).
+
+Equivalent role to the reference's DataLoader worker processes
+(mnist_svhn_dataset.py:188-195, num_workers=4 + pin_memory) done the JAX
+way: threads suffice because the work is vectorized numpy (releases the
+GIL) and an async dispatch.
+
+Measured effect on v5e (docs/results_r3/prefetch_bench.json): see
+bench_details.json train_steps_per_sec with/without.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, Optional
+
+import jax
+
+_SENTINEL = object()
+
+
+def device_prefetch(it: Iterable, depth: int = 2,
+                    device: Optional[jax.Device] = None) -> Iterator:
+    """Iterate `it` on a background thread, device_put-ting `depth` batches
+    ahead. Dict/tuple/array batches all work (device_put maps over trees).
+
+    Exceptions in the producer are re-raised at the consuming call site.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    err = []
+
+    def produce():
+        try:
+            for item in it:
+                q.put(jax.device_put(item, device))
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+class PrefetchLoader:
+    """Epoch-loader wrapper: each __iter__ of the inner loader is wrapped
+    in device_prefetch. Drop-in for _EpochLoader consumers."""
+
+    def __init__(self, loader, depth: int = 2):
+        self._loader = loader
+        self._depth = depth
+
+    def __len__(self):
+        return len(self._loader)
+
+    def __iter__(self):
+        return device_prefetch(iter(self._loader), self._depth)

@@ -13,6 +13,19 @@ import numpy as np
 from ratio_guided_multimodal_fm_tpu.data.transforms import inverse_transform
 
 
+def label_entropy(preds, num_classes: int = 10) -> float:
+    """Shannon entropy (nats) of the empirical predicted-label distribution.
+
+    The standard diversity summary for guided sampling: ln(10) ≈ 2.303 for
+    a uniform class mix, → 0 under mode collapse. Guidance that buys
+    coherence by steering every trajectory onto a few MC pairs shows up
+    here before it shows up in FID (VERDICT r2 §weak-3)."""
+    counts = np.bincount(np.asarray(preds), minlength=num_classes)
+    p = counts / max(counts.sum(), 1)
+    nz = p[p > 0]
+    return float(-(nz * np.log(nz)).sum())
+
+
 def evaluate_coherence(samples_x, samples_y, classify_fn: Callable,
                        transform_type: str = "rotate90") -> Dict:
     """Single-classifier coherence; y is inverse-transformed first so the
@@ -24,6 +37,8 @@ def evaluate_coherence(samples_x, samples_y, classify_fn: Callable,
     return {
         "coherence_acc": float((pred_x == pred_y).mean()),
         "num_samples": int(len(pred_x)),
+        "label_entropy_x": label_entropy(pred_x),
+        "label_entropy_y": label_entropy(pred_y),
         "pred_x": pred_x,
         "pred_y": pred_y,
     }
@@ -38,6 +53,8 @@ def evaluate_coherence_dual(samples_x, samples_y, classify_x: Callable,
     return {
         "coherence_acc": float((pred_x == pred_y).mean()),
         "num_samples": int(len(pred_x)),
+        "label_entropy_x": label_entropy(pred_x),
+        "label_entropy_y": label_entropy(pred_y),
         "pred_x": pred_x,
         "pred_y": pred_y,
     }

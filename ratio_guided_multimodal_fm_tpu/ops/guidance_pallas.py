@@ -58,6 +58,19 @@ def pallas_available() -> bool:
         return False
 
 
+def flash_guidance_fits(dx: int, dy: int) -> bool:
+    """Whether the flattened pair feature dims fit the kernel's VMEM tiling.
+
+    TN is floored at 128 (lane alignment, see _auto_tiles), so the
+    double-buffered X1/Y1 input tiles alone cost 2·128·row_bytes; with the
+    minimum batch side (TB=8) the total must stay within ~14MiB of the
+    v5e's ~16MiB VMEM. Beyond that (Dx+Dy ≳ 11.7k f32 — e.g. a 64×64
+    RGB+gray pair) the kernel cannot be tiled and callers must use the XLA
+    path ('auto' mode checks this automatically)."""
+    row_bytes = 4 * (_round_up(dx, 128) + _round_up(dy, 128))
+    return (2 * 128 + 7 * 8) * row_bytes <= 14 * 1024 * 1024
+
+
 def _kernel(scalars_ref, xt_ref, yt_ref, x1_ref, y1_ref, lr_ref,
             gx_ref, gy_ref, ess_ref, l_ref,
             accx_ref, accy_ref, m_ref, l_sc, q_sc):
@@ -137,12 +150,19 @@ def _kernel(scalars_ref, xt_ref, yt_ref, x1_ref, y1_ref, lr_ref,
 def _auto_tiles(row_bytes: int) -> Tuple[int, int]:
     """Pick (TB, TN) to fit the v5e ~16MiB scoped VMEM: double-buffered
     X1/Y1 input tiles cost 2·TN·row_bytes; the batch side (x_t/y_t tiles,
-    acc scratch, outputs) ≈ 3.5·TB·row_bytes."""
+    acc scratch, outputs) ≈ 3.5·TB·row_bytes.
+
+    TN never drops below 128: the log-ratio BlockSpec is (1, TN) with TN on
+    the lane dim, which Mosaic requires 128-aligned (advisor r2 — a 64×64
+    RGB+gray pair, Dx+Dy > 4096 f32, used to pick TN=32 and fail to
+    compile). When the fixed TN=128 input tiles exceed their budget, the
+    overshoot is charged to the batch side by shrinking TB instead."""
     tn = 512
-    while tn > 8 and 2 * tn * row_bytes > 4 * 1024 * 1024:
+    while tn > 128 and 2 * tn * row_bytes > 4 * 1024 * 1024:
         tn //= 2
+    remaining = 14 * 1024 * 1024 - 2 * tn * row_bytes
     tb = 128
-    while tb > 8 and 7 * tb * row_bytes > 2 * 6 * 1024 * 1024:
+    while tb > 8 and 7 * tb * row_bytes > max(remaining, 2 * 1024 * 1024):
         tb //= 2
     return tb, tn
 
@@ -176,6 +196,12 @@ def flash_guidance(
     X1 = mc_x1.reshape(N, -1).astype(jnp.float32)
     Y1 = mc_y1.reshape(N, -1).astype(jnp.float32)
     Dx0, Dy0 = xt.shape[1], yt.shape[1]
+    if not flash_guidance_fits(Dx0, Dy0):
+        raise ValueError(
+            f"flash_guidance: pair feature dims ({Dx0}+{Dy0} f32) exceed "
+            "the kernel's VMEM tiling capacity (TN is floored at 128 for "
+            "lane alignment); use the XLA guidance path "
+            "(use_pallas=False or 'auto').")
     Dx, Dy = _round_up(Dx0, 128), _round_up(Dy0, 128)
     if Dx != Dx0:   # zero feature padding is exact
         xt = jnp.pad(xt, ((0, 0), (0, Dx - Dx0)))

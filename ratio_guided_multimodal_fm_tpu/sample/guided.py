@@ -61,9 +61,22 @@ from ratio_guided_multimodal_fm_tpu.flow.cfm import euler_scan
 
 EPS_T = 1e-3  # guidance gate / sigma floor, matches ref flow_utils.py:224,279
 
+# mc_set carries r̂ = exp(log r̂); a saturated discriminator emits log r̂ in
+# the hundreds, and exp overflows f32 to +inf above ~88.7 — the Pallas path
+# then log-roundtrips +inf into NaN guidance *silently* (advisor r2). Cap
+# log r̂ at 80 (e^80 ≈ 5.5e34, comfortably finite): normalized importance
+# weights treat every candidate above the cap as equally dominant, which is
+# exactly the regime where the reference's own math is already inf/NaN.
+LOG_R_F32_MAX = 80.0
+
 
 def _flat(x):
     return x.reshape(x.shape[0], -1)
+
+
+def safe_exp_log_r(log_r: jax.Array) -> jax.Array:
+    """exp(log r̂) clamped to stay f32-finite (see LOG_R_F32_MAX)."""
+    return jnp.exp(jnp.minimum(log_r, LOG_R_F32_MAX))
 
 
 def mc_feng_guidance(
@@ -155,10 +168,18 @@ def mc_feng_guidance(
     # → 1 when collapsed onto a single MC sample.
     ess = (w_total * w_total) / (w_sq + 1e-10)               # [B,1]
 
+    # Diagnostic extrema must reduce over the FULL MC axis too, or sharded
+    # and unsharded runs would report different diagnostics for identical
+    # math (w/g themselves are already globally exact via psum above).
+    w_min = jnp.min(w)
+    w_max = jnp.max(w)
+    if mc_axis is not None:
+        w_min = jax.lax.pmin(w_min, mc_axis)
+        w_max = jax.lax.pmax(w_max, mc_axis)
     diag = {
         "ess": ess[:, 0],
-        "w_min": jnp.min(w),
-        "w_max": jnp.max(w),
+        "w_min": w_min,
+        "w_max": w_max,
         "Z_bar_mean": jnp.mean(Z_bar),
         "g_x_norm": jnp.mean(jnp.linalg.norm(g_x, axis=1)),
         "g_y_norm": jnp.mean(jnp.linalg.norm(g_y, axis=1)),
@@ -202,14 +223,29 @@ class GuidedSamplerConfig:
 def _resolve_pallas(cfg: "GuidedSamplerConfig",
                     mc_axis: Optional[str]) -> bool:
     if cfg.use_pallas is True or cfg.use_pallas == "interpret":
+        if mc_axis is not None:
+            # The Pallas kernel has no pmax/psum: each device would softmax
+            # over only its local MC shard and emit silently wrong guidance.
+            # Only the XLA formulation does global reductions (advisor r2).
+            raise ValueError(
+                "use_pallas=True/'interpret' is incompatible with a sharded "
+                "MC axis (mc_axis=%r): the flash kernel reduces only over "
+                "the local shard. Use use_pallas='auto' (falls back to the "
+                "XLA path when sharded) or unshard the MC axis." % mc_axis)
         return True
     if cfg.use_pallas == "auto":
+        import numpy as _np
+
         from ratio_guided_multimodal_fm_tpu.ops.guidance_pallas import (
+            flash_guidance_fits,
             pallas_available,
         )
         # The sharded path needs global pmax/psum reductions inside the
-        # weight math — only the XLA formulation supports that.
-        return mc_axis is None and pallas_available()
+        # weight math — only the XLA formulation supports that. Large
+        # feature dims exceed the kernel's VMEM tiling (flash_guidance_fits).
+        return (mc_axis is None and pallas_available()
+                and flash_guidance_fits(int(_np.prod(cfg.x_shape)),
+                                        int(_np.prod(cfg.y_shape))))
     return False
 
 
@@ -233,6 +269,10 @@ def _make_guided_step(
         # log r̂ hoisted out of the scan (invariant across steps)
         mc_log_r = jnp.log(jnp.maximum(
             mc_set[2].astype(jnp.float32), 1e-30))
+        # A non-finite ratio (e.g. an externally built mc_set whose exp
+        # overflowed) would become NaN guidance silently in the kernel;
+        # fail loudly like the XLA path's weight check does.
+        check_finite(mc_log_r, "mc_feng log ratios (pallas path)")
 
     def step(carry, i):
         x_t, y_t = carry
@@ -347,7 +387,7 @@ def make_guided_sampler_p(
             if cfg.log_ratio_clip is not None:
                 log_r = jnp.clip(log_r, -cfg.log_ratio_clip,
                                  cfg.log_ratio_clip)
-            mc_set = (mc_x1, mc_y1, jnp.exp(log_r))
+            mc_set = (mc_x1, mc_y1, safe_exp_log_r(log_r))
 
         step = _make_guided_step(fm_x_fn, fm_y_fn, cfg, log_ratio_fn,
                                  mc_set, mc_axis)
@@ -415,7 +455,7 @@ def generate_mc_set(
     log_r = log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32)
     if log_ratio_clip is not None:
         log_r = jnp.clip(log_r, -log_ratio_clip, log_ratio_clip)
-    return mc_x1, mc_y1, jnp.exp(log_r)
+    return mc_x1, mc_y1, safe_exp_log_r(log_r)
 
 
 def sample_bimodal_guided(

@@ -12,7 +12,10 @@ import jax
 import numpy as np
 
 from ratio_guided_multimodal_fm_tpu.core.prng import RNG
-from ratio_guided_multimodal_fm_tpu.train.checkpoint import save_checkpoint
+from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
+    save_checkpoint,
+    wait_for_saves,
+)
 
 
 class EarlyStopper:
@@ -70,13 +73,18 @@ def train_flow_matching_epochs(
         log_fn(f"Epoch {epoch+1}/{epochs} - Loss: {avg:.4f} "
                f"({steps_per_sec:.1f} steps/s)")
 
+        # Saves overlap the next epoch's compute (Orbax background thread);
+        # wait_for_saves() below barriers before returning, and
+        # load_checkpoint barriers too, so no half-written tree is ever read.
         if stopper.update(avg):
             if best_path:
-                save_checkpoint(best_path, state.params)
+                save_checkpoint(best_path, state.params, async_save=True)
                 log_fn(f"  -> Saved best model: {best_path}")
         if periodic_path_fn and (epoch + 1) % save_every == 0:
-            save_checkpoint(periodic_path_fn(epoch + 1), state.params)
+            save_checkpoint(periodic_path_fn(epoch + 1), state.params,
+                            async_save=True)
         if stopper.should_stop:
             log_fn(f"\nEarly stopping after {epoch+1} epochs (patience={patience})")
             break
+    wait_for_saves()
     return state, stopper.best, history
