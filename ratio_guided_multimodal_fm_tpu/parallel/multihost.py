@@ -59,6 +59,14 @@ def maybe_init_distributed(
         return False
     if _initialized:
         return True
+    # Cross-process collectives on the CPU backend need gloo (the
+    # multi-host CI/test path; TPU uses ICI/DCN natively and ignores this).
+    try:
+        if (os.environ.get("JAX_PLATFORMS") == "cpu"
+                or jax.config.jax_platforms == "cpu"):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # noqa: BLE001 — older/newer jax without the option
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
