@@ -54,6 +54,14 @@ def main(argv=None):
                         choices=["unet", "original"])
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples")
+    parser.add_argument("--grad_strength", type=float, default=None,
+                        help="Separate strength for the grad term "
+                             "(default: guidance_strength)")
+    parser.add_argument("--grad_scale", type=str, default="const",
+                        choices=["const", "sigma"],
+                        help="grad term scaling: const or sigma_t^2")
+    parser.add_argument("--grad_t_max", type=float, default=1.0,
+                        help="gate the grad term to t < grad_t_max")
     parser.add_argument("--ess_floor", type=float, default=None,
                         help="Adaptive guidance: per-trajectory gamma_eff = "
                              "gamma*min(1, ESS/ess_floor)")
@@ -135,7 +143,7 @@ def main(argv=None):
             # the per-chunk fresh sets (default policy: fresh set per
             # chunk, eval/chunked.py).
             make_mc = None
-            if method == "mc_feng":
+            if method in ("mc_feng", "mc_feng+grad"):
                 def make_mc(k, _lr=log_ratio):
                     return generate_mc_set(
                         velocity_fn(model, params_x),
@@ -154,6 +162,8 @@ def main(argv=None):
                     mc_batch_size=args.mc_batch_size,
                     x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=ck,
                     mc_set=mc_ci, ess_floor=args.ess_floor,
+                    grad_strength=args.grad_strength,
+                    grad_scale=args.grad_scale, grad_t_max=args.grad_t_max,
                     return_diagnostics=True)
 
             print(f"  Sampling {args.num_samples} pairs...")

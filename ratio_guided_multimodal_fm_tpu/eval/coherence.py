@@ -23,7 +23,7 @@ def label_entropy(preds, num_classes: int = 10) -> float:
     counts = np.bincount(np.asarray(preds), minlength=num_classes)
     p = counts / max(counts.sum(), 1)
     nz = p[p > 0]
-    return float(-(nz * np.log(nz)).sum())
+    return float(max(0.0, -(nz * np.log(nz)).sum()))
 
 
 def evaluate_coherence(samples_x, samples_y, classify_fn: Callable,

@@ -13,6 +13,7 @@ from ratio_guided_multimodal_fm_tpu.models.ratio import (
     log_ratio_from_scores,
 )
 from ratio_guided_multimodal_fm_tpu.models.classifiers import (
+    Classifier64,
     MNISTClassifier,
     MNISTClassifier32,
     SVHNClassifier,

@@ -68,3 +68,24 @@ class SVHNClassifier(nn.Module):
         x = nn.relu(nn.Dense(256, name="fc1", **kw)(x))
         x = nn.Dropout(0.3, deterministic=deterministic)(x)
         return nn.Dense(10, name="fc2", **kw)(x)
+
+
+class Classifier64(nn.Module):
+    """3-conv CNN for RGB 64x64 — evaluation classifier for the
+    natural-image stretch config (BASELINE config #5; no reference
+    equivalent — the reference tops out at 32px)."""
+
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        pool = lambda h: nn.max_pool(h, (2, 2), strides=(2, 2))  # noqa: E731
+        x = pool(nn.relu(nn.Conv(32, (3, 3), padding=1, name="conv1", **kw)(x)))
+        x = pool(nn.relu(nn.Conv(64, (3, 3), padding=1, name="conv2", **kw)(x)))
+        x = pool(nn.relu(nn.Conv(64, (3, 3), padding=1, name="conv3", **kw)(x)))
+        x = x.reshape(x.shape[0], -1)      # 8*8*64
+        x = nn.relu(nn.Dense(128, name="fc1", **kw)(x))
+        x = nn.Dropout(0.25, deterministic=deterministic)(x)
+        return nn.Dense(10, name="fc2", **kw)(x)

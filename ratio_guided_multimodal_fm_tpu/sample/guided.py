@@ -189,7 +189,11 @@ def mc_feng_guidance(
 
 @dataclasses.dataclass(frozen=True)
 class GuidedSamplerConfig:
-    guidance_method: str = "none"  # 'none' | 'mc_feng' | 'grad'
+    # 'none' | 'mc_feng' | 'grad' | 'mc_feng+grad' (combined: mc_feng
+    # mixing first, then the gradient term added — the two mechanisms are
+    # complementary: mc_feng steers toward concrete coherent candidates,
+    # grad ascends log r̂ locally)
+    guidance_method: str = "none"
     guidance_strength: float = 0.0
     num_steps: int = 100
     mc_batch_size: int = 64
@@ -218,6 +222,22 @@ class GuidedSamplerConfig:
     # fixed costs — matters on this workload because each step is ~40 tiny
     # conv ops (see bench.py's unroll sweep). 1 = no unrolling.
     scan_unroll: int = 1
+    # --- grad-method tuning (VERDICT r2 #7; README.md:159-164 names the
+    # method, the reference never wired it up) ---
+    # Strength of the gradient term. None = use guidance_strength (so the
+    # combined method can weight the two mechanisms independently).
+    grad_strength: Optional[float] = None
+    # 'const': v += γ_g·∇log r̂ at every gated step (round-2 behavior).
+    # 'sigma': v += γ_g·σ_t²·∇log r̂ — the score-SDE convention: the
+    #   guidance magnitude tracks the conditional-path variance, so the
+    #   term fades as t→1 instead of fighting the sharpening flow.
+    grad_scale: str = "const"
+    # Gate the gradient term to t < grad_t_max (1.0 = no gate). Late-t
+    # gating tests whether grad only helps while trajectories are still
+    # malleable (the ratio net is terminal-time-only — ref
+    # ratio_estimator.py:100 — so its gradients are off-distribution at
+    # small t and its landscape is sharpest near t=1).
+    grad_t_max: float = 1.0
 
 
 def _resolve_pallas(cfg: "GuidedSamplerConfig",
@@ -264,8 +284,11 @@ def _make_guided_step(
     gamma = cfg.guidance_strength
     dt = 1.0 / cfg.num_steps
     guided = method != "none" and log_ratio_fn is not None
+    use_mc = guided and method in ("mc_feng", "mc_feng+grad")
+    use_grad = guided and method in ("grad", "mc_feng+grad")
+    grad_gamma = cfg.grad_strength if cfg.grad_strength is not None else gamma
     use_pallas = _resolve_pallas(cfg, mc_axis)
-    if guided and method == "mc_feng" and use_pallas:
+    if use_mc and use_pallas:
         # log r̂ hoisted out of the scan (invariant across steps)
         mc_log_r = jnp.log(jnp.maximum(
             mc_set[2].astype(jnp.float32), 1e-30))
@@ -282,7 +305,7 @@ def _make_guided_step(
         v_y = fm_y_fn(y_t, tb).astype(jnp.float32)
 
         diag = {}
-        if guided and method == "mc_feng":
+        if use_mc:
             mc_x1, mc_y1, mc_ratios = mc_set
             if use_pallas:
                 from ratio_guided_multimodal_fm_tpu.ops.guidance_pallas import (  # noqa: E501
@@ -311,11 +334,16 @@ def _make_guided_step(
             diag["v_y_norm"] = jnp.mean(jnp.linalg.norm(_flat(v_y), axis=1))
             v_x = (1.0 - gate) * v_x + gate * g_x
             v_y = (1.0 - gate) * v_y + gate * g_y
-        elif guided and method == "grad":
+        if use_grad:
             def lr_sum(xx, yy):
                 return jnp.sum(log_ratio_fn(xx, yy).astype(jnp.float32))
             g_x, g_y = jax.grad(lr_sum, argnums=(0, 1))(x_t, y_t)
-            gate = (t > EPS_T).astype(jnp.float32) * gamma
+            gate = (t > EPS_T).astype(jnp.float32) * grad_gamma
+            if cfg.grad_t_max < 1.0:
+                gate = gate * (t < cfg.grad_t_max).astype(jnp.float32)
+            if cfg.grad_scale == "sigma":
+                sig = 1.0 - t + EPS_T
+                gate = gate * sig * sig
             v_x = v_x + gate * g_x
             v_y = v_y + gate * g_y
 
@@ -372,7 +400,8 @@ def make_guided_sampler_p(
             y_t = jax.random.normal(ky, (num_samples,) + cfg.y_shape,
                                     jnp.float32)
 
-        if guided and method == "mc_feng" and mc_set is None:
+        if (guided and method in ("mc_feng", "mc_feng+grad")
+                and mc_set is None):
             # Phase A: generate N_mc independent pairs from the two flows
             # (ref flow_utils.py:231-258) and their terminal ratios.
             x0 = jax.random.normal(kmx, (cfg.mc_batch_size,) + cfg.x_shape,
@@ -474,6 +503,9 @@ def sample_bimodal_guided(
     mc_set=None,
     log_ratio_clip: Optional[float] = None,
     ess_floor: Optional[float] = None,
+    grad_strength: Optional[float] = None,
+    grad_scale: str = "const",
+    grad_t_max: float = 1.0,
 ):
     """Convenience wrapper with the reference's argument surface
     (flow_utils.py:178-213). Returns (samples_x, samples_y) NHWC in [-1,1]-ish.
@@ -489,6 +521,9 @@ def sample_bimodal_guided(
         y_shape=y_shape,
         log_ratio_clip=log_ratio_clip,
         ess_floor=ess_floor,
+        grad_strength=grad_strength,
+        grad_scale=grad_scale,
+        grad_t_max=grad_t_max,
     )
     sampler = jax.jit(
         make_guided_sampler(fm_x_fn, fm_y_fn, cfg, log_ratio_fn),
