@@ -56,22 +56,30 @@ def _sync(x):
     return float(jnp.sum(jnp.asarray(x).ravel()[:1]))
 
 
-def train_classifier(imgs, lbls, seed, epochs=6, bs=128):
-    """Small 64px eval classifier; returns (apply_fn, test_acc)."""
+def train_classifier(imgs_dev, lbls, seed, epochs=6, bs=128):
+    """Small 64px eval classifier; returns (apply_fn, test_acc).
+
+    `imgs_dev` is a DEVICE-resident array (uploaded once by main) —
+    per-step batches are gathered on-device from int32 index arrays, so
+    the axon tunnel never re-streams image bytes (measured: per-batch
+    jnp.asarray of 6.3MB costs seconds through the tunnel)."""
     import optax
     from flax.training import train_state
 
     clf = Classifier64()
-    n = len(imgs)
+    n = len(imgs_dev)
     n_tr = int(n * 0.9)
     k = jax.random.PRNGKey(seed)
     variables = clf.init(k, jnp.zeros((1, 64, 64, 3)))
     state = train_state.TrainState.create(
         apply_fn=clf.apply, params=variables["params"],
         tx=optax.adam(1e-3))
+    lbls_dev = jax.device_put(jnp.asarray(lbls))
 
     @jax.jit
-    def step(st, x, y, key):
+    def step(st, idx, key):
+        x = jnp.take(imgs_dev, idx, axis=0)
+        y = jnp.take(lbls_dev, idx, axis=0)
         def loss_fn(p):
             logits = clf.apply({"params": p}, x, deterministic=False,
                                rngs={"dropout": key})
@@ -84,17 +92,15 @@ def train_classifier(imgs, lbls, seed, epochs=6, bs=128):
     for ep in range(epochs):
         order = host.permutation(n_tr)
         for b in range(n_tr // bs):
-            idx = order[b * bs:(b + 1) * bs]
-            state, _ = step(state, jnp.asarray(imgs[idx]),
-                            jnp.asarray(lbls[idx]),
-                            jax.random.fold_in(k, ep * 1000 + b))
+            idx = jnp.asarray(order[b * bs:(b + 1) * bs], jnp.int32)
+            state, _ = step(state, idx, jax.random.fold_in(k, ep * 1000 + b))
 
     apply = jax.jit(lambda x: clf.apply({"params": state.params}, x))
     preds = []
     for b in range(0, n - n_tr, 256):
-        preds.append(np.asarray(
-            jnp.argmax(apply(jnp.asarray(imgs[n_tr + b:n_tr + b + 256])),
-                       axis=-1)))
+        sl = jax.lax.dynamic_slice_in_dim(imgs_dev, n_tr + b,
+                                          min(256, n - n_tr - b), axis=0)
+        preds.append(np.asarray(jnp.argmax(apply(sl), axis=-1)))
     acc = float((np.concatenate(preds) == lbls[n_tr:]).mean())
     return apply, acc
 
@@ -137,10 +143,13 @@ def main():
     y_u8, y_lbl = generate_natural("faces", args.n, seed=21)
     x_imgs, y_imgs = to_unit_range(x_u8), to_unit_range(y_u8)
     pairing = Pairing(y_lbl)
+    # one-time upload: all per-step batches are device-side gathers
+    x_dev = jax.device_put(jnp.asarray(x_imgs))
+    y_dev = jax.device_put(jnp.asarray(y_imgs))
 
     print("Training eval classifiers...", flush=True)
-    clf_x, acc_x = train_classifier(x_imgs, x_lbl, 101)
-    clf_y, acc_y = train_classifier(y_imgs, y_lbl, 102)
+    clf_x, acc_x = train_classifier(x_dev, x_lbl, 101)
+    clf_y, acc_y = train_classifier(y_dev, y_lbl, 102)
     print(f"classifier acc: objects={acc_x:.3f} faces={acc_y:.3f}",
           flush=True)
 
@@ -179,9 +188,11 @@ def main():
             order = host.permutation(args.n)[: nb * args.batch_size]
             ax = ay = 0.0
             for b in range(nb):
-                idx = order[b * args.batch_size:(b + 1) * args.batch_size]
-                sx, lx = step_x(sx, jnp.asarray(x_imgs[idx]), rng.next())
-                sy, ly = step_y(sy, jnp.asarray(y_imgs[idx]), rng.next())
+                idx = jnp.asarray(
+                    order[b * args.batch_size:(b + 1) * args.batch_size],
+                    jnp.int32)
+                sx, lx = step_x(sx, jnp.take(x_dev, idx, axis=0), rng.next())
+                sy, ly = step_y(sy, jnp.take(y_dev, idx, axis=0), rng.next())
                 ax += float(lx)
                 ay += float(ly)
             loss_curve["flow_x"].append(round(ax / nb, 4))
@@ -209,10 +220,10 @@ def main():
                 y_same = pairing.same_label(lbl, host)
                 y_diff, _ = pairing.different_label(lbl, host)
                 y_idx = np.where(is_real, y_same, y_diff)
-                rs, metrics = rstep(rs, jnp.asarray(x_imgs[idx]),
-                                    jnp.asarray(y_imgs[y_idx]),
-                                    jnp.asarray(is_real.astype(np.float32)),
-                                    rng.next())
+                rs, metrics = rstep(
+                    rs, jnp.take(x_dev, jnp.asarray(idx, jnp.int32), axis=0),
+                    jnp.take(y_dev, jnp.asarray(y_idx, jnp.int32), axis=0),
+                    jnp.asarray(is_real.astype(np.float32)), rng.next())
             row = {k: round(float(v), 4) for k, v in metrics.items()}
             loss_curve["ratio"].append(row)
             print(f"ratio epoch {epoch+1}/{args.ratio_epochs}: "
