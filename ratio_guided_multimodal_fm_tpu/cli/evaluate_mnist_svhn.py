@@ -74,6 +74,12 @@ def main(argv=None):
     parser.add_argument("--auto_chunks", type=int,
                         default=DEFAULT_AUTO_CHUNKS,
                         help="Number of chunks in 'auto' mode (default 4)")
+    parser.add_argument("--inception_weights", type=str, default=None,
+                        help="Path to an Inception network (TorchScript or "
+                             "torchvision inception_v3 .pth) for TRUE "
+                             "Inception-FID; without it --fid reports the "
+                             "clearly-labeled classifier-feature Frechet "
+                             "distance (eval/fid.py)")
     parser.add_argument("--fid", action="store_true",
                         help="Also compute classifier-FID vs real data")
     add_common_flags(parser)
@@ -179,6 +185,13 @@ def main(argv=None):
                 result["classifier_fid_mnist"] = compute_fid(
                     clf_m, {"params": params_clf_m}, real_m,
                     np.asarray(samples_x))
+                if args.inception_weights:
+                    from ratio_guided_multimodal_fm_tpu.eval.fid import (
+                        compute_inception_fid,
+                    )
+                    result["inception_fid_mnist"] = compute_inception_fid(
+                        np.asarray(real_m), np.asarray(samples_x),
+                        args.inception_weights)
             results.append(result)
             print(f"  -> Coherence accuracy: {metrics['coherence_acc']:.3f}")
 

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ratio_guided_multimodal_fm_tpu.data.transforms import apply_transform
 from ratio_guided_multimodal_fm_tpu.eval.coherence import (
@@ -58,3 +59,37 @@ def test_fid_orders_distributions():
     near = rng.randn(500, 16) * 1.05 + 0.05
     far = rng.randn(500, 16) * 2.0 + 1.5
     assert fid_from_features(base, near) < fid_from_features(base, far)
+
+
+def test_inception_fid_with_torchscript_net(tmp_path):
+    """compute_inception_fid runs a user-provided TorchScript network
+    end-to-end (a tiny stand-in here — the real Inception weights cannot
+    ship offline; the pipeline is what the framework owns)."""
+    import torch
+
+    from ratio_guided_multimodal_fm_tpu.eval.fid import compute_inception_fid
+
+    class Tiny(torch.nn.Module):
+        def forward(self, x):          # [B,3,299,299] -> [B,8]
+            p = torch.nn.functional.adaptive_avg_pool2d(x, (2, 2))
+            return p.reshape(x.shape[0], -1)[:, :8]
+
+    path = str(tmp_path / "net.pt")
+    torch.jit.script(Tiny()).save(path)
+
+    rng = np.random.RandomState(0)
+    real = rng.randn(24, 16, 16, 1).astype(np.float32)
+    same = real.copy()
+    diff = real + 1.5
+    fid_same = compute_inception_fid(real, same, path)
+    fid_diff = compute_inception_fid(real, diff, path)
+    assert fid_same < 1e-6
+    assert fid_diff > fid_same
+
+
+def test_inception_fid_missing_weights_fails_loudly():
+    from ratio_guided_multimodal_fm_tpu.eval.fid import compute_inception_fid
+
+    with pytest.raises(FileNotFoundError, match="Inception weights"):
+        compute_inception_fid(np.zeros((2, 8, 8, 1)), np.zeros((2, 8, 8, 1)),
+                              "/nonexistent/weights.pth")
