@@ -26,6 +26,7 @@ from typing import Optional
 
 import numpy as np
 
+from ratio_guided_multimodal_fm_tpu.data.device_data import maybe_device_cache
 from ratio_guided_multimodal_fm_tpu.data.pipeline import Pairing, to_unit_range
 from ratio_guided_multimodal_fm_tpu.data.sources import load_mnist
 from ratio_guided_multimodal_fm_tpu.data.transforms import apply_transform
@@ -55,6 +56,8 @@ def get_flow_dataloader(transform_type: Optional[str] = None,
     imgs_u8, labels = load_mnist(root, train)
     x = to_unit_range(imgs_u8)
     y = np.asarray(apply_transform(transform_type, x)) if transform_type else x
+    x = maybe_device_cache(x)
+    y = x if y is x else maybe_device_cache(y)
     n_batches = len(x) // batch_size
 
     def make_iter(rng):
@@ -73,7 +76,8 @@ def get_ratio_dataloader(transform_type: str = "rotate90",
                          seed: int = 0) -> _EpochLoader:
     imgs_u8, labels = load_mnist(root, train)
     x = to_unit_range(imgs_u8)
-    y_all = np.asarray(apply_transform(transform_type, x))
+    y_all = maybe_device_cache(np.asarray(apply_transform(transform_type, x)))
+    x = maybe_device_cache(x)
     pairing = Pairing(labels)
     n_batches = len(x) // batch_size
 
@@ -101,7 +105,7 @@ def get_classifier_dataloader(batch_size: int = 128, train: bool = True,
                               root: str = "./data", seed: int = 0) -> _EpochLoader:
     """Plain (image, label) batches for the MNIST-28 eval classifier."""
     imgs_u8, labels = load_mnist(root, train)
-    x = to_unit_range(imgs_u8)
+    x = maybe_device_cache(to_unit_range(imgs_u8))
     n_batches = len(x) // batch_size
 
     def make_iter(rng):

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ratio_guided_multimodal_fm_tpu.data.device_data import maybe_device_cache
 from ratio_guided_multimodal_fm_tpu.data.mnist_dataset import _EpochLoader
 from ratio_guided_multimodal_fm_tpu.data.pipeline import (
     Pairing,
@@ -30,7 +31,8 @@ def _mnist32(root, train):
     key = ("mnist32", root, train)
     if key not in _CACHE:
         imgs, labels = load_mnist(root, train)
-        _CACHE[key] = (to_unit_range(resize_images(imgs, 32)), labels)
+        _CACHE[key] = (maybe_device_cache(
+            to_unit_range(resize_images(imgs, 32))), labels)
     return _CACHE[key]
 
 
@@ -38,7 +40,7 @@ def _svhn(root, train):
     key = ("svhn", root, train)
     if key not in _CACHE:
         imgs, labels = load_svhn(root, train)
-        _CACHE[key] = (to_unit_range(imgs), labels)
+        _CACHE[key] = (maybe_device_cache(to_unit_range(imgs)), labels)
     return _CACHE[key]
 
 

@@ -92,3 +92,31 @@ def test_mnist_svhn_loader_shapes(tmp_path):
     batch = next(iter(loader))
     assert batch["x"].shape == (16, 32, 32, 1)
     assert batch["y"].shape == (16, 32, 32, 3)
+
+
+def test_device_cached_loaders_match_host(monkeypatch, tmp_path):
+    """RGMF_DEVICE_DATA=1 (device-resident arrays + on-device gathers)
+    yields bit-identical batches to the host path."""
+    import importlib
+
+    import jax
+
+    from ratio_guided_multimodal_fm_tpu.data import device_data
+
+    root = str(tmp_path / "d")
+
+    def batches(force):
+        monkeypatch.setenv("RGMF_DEVICE_DATA", "1" if force else "0")
+        # fresh module caches so the flag is honored
+        import ratio_guided_multimodal_fm_tpu.data.mnist_svhn as ms
+        ms._CACHE.clear()
+        loader = ms.get_mnist_svhn_ratio_dataloader(16, True, root, seed=5)
+        return [{k: np.asarray(v) for k, v in b.items()}
+                for _, b in zip(range(3), iter(loader))]
+
+    host = batches(False)
+    dev = batches(True)
+    for hb, db in zip(host, dev):
+        assert set(hb) == set(db)
+        for k in hb:
+            np.testing.assert_array_equal(hb[k], db[k])
