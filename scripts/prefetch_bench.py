@@ -49,33 +49,43 @@ def run_epoch(loader, state, step, key, max_steps=150):
 
 
 def main():
+    import os
+
+    import ratio_guided_multimodal_fm_tpu.data.mnist_svhn as ms
+
     model = FlowMatchingUNetSVHN(dtype=jnp.bfloat16)
     state = create_fm_state(model, jax.random.PRNGKey(0), (32, 32, 3),
                             lr=1e-4)
     step = make_fm_train_step(model)
     key = jax.random.PRNGKey(1)
 
-    out = {"workload": "FM-SVHN train, B=128, real host loader, 150 steps"}
-    loader = get_svhn_flow_dataloader(128, True, "./data")
-    # warmup epoch segment (compile + data gen)
-    state, _ = run_epoch(loader, state, step, key, max_steps=10)
+    out = {"workload": "FM-SVHN train, B=128, real loader, 150 steps"}
 
-    state, r_plain = run_epoch(loader, state, step, key)
-    out["steps_per_sec_plain"] = round(r_plain, 1)
-    state, r_pre = run_epoch(PrefetchLoader(loader, depth=2), state, step,
-                             key)
-    out["steps_per_sec_prefetch"] = round(r_pre, 1)
-    # repeat to control for drift
-    state, r_plain2 = run_epoch(loader, state, step, key)
-    out["steps_per_sec_plain_rep2"] = round(r_plain2, 1)
-    state, r_pre2 = run_epoch(PrefetchLoader(loader, depth=2), state, step,
-                              key)
-    out["steps_per_sec_prefetch_rep2"] = round(r_pre2, 1)
-    plain = max(r_plain, r_plain2)
-    pre = max(r_pre, r_pre2)
-    out["speedup"] = round(pre / plain, 3)
-    out["input_bound_fraction_of_plain"] = round(1.0 - plain / pre, 3) \
-        if pre > plain else 0.0
+    def fresh_loader(device_data: str):
+        os.environ["RGMF_DEVICE_DATA"] = device_data
+        ms._CACHE.clear()
+        return get_svhn_flow_dataloader(128, True, "./data")
+
+    # warmup (compile + synthetic data gen)
+    state, _ = run_epoch(fresh_loader("0"), state, step, key, max_steps=10)
+
+    for tag, dd, wrap in [("host_plain", "0", False),
+                          ("host_prefetch", "0", True),
+                          ("device_cached", "1", False),
+                          ("device_cached_prefetch", "1", True)]:
+        loader = fresh_loader(dd)
+        if wrap:
+            loader = PrefetchLoader(loader, depth=2)
+        rates = []
+        for _ in range(2):
+            state, r = run_epoch(loader, state, step, key)
+            rates.append(r)
+        out[f"steps_per_sec_{tag}"] = round(max(rates), 1)
+        print(tag, out[f"steps_per_sec_{tag}"], flush=True)
+    base = out["steps_per_sec_host_plain"]
+    best = max(v for k, v in out.items() if k.startswith("steps_per_sec"))
+    out["best_over_host_plain"] = round(best / base, 2)
+    out["input_bound_fraction_of_host_plain"] = round(1.0 - base / best, 3)
 
     os.makedirs("docs/results_r3", exist_ok=True)
     with open("docs/results_r3/prefetch_bench.json", "w") as f:
