@@ -29,6 +29,11 @@ preflight stage1 || exit 1
 cp parity_runs/saturated_r3/outputs/evaluation_results.json \
    docs/results_r3/saturated_default_eval.json && echo "stage 1 saved"
 
+echo "=== stage 1b: best-point (10-epoch ratio) default-flag eval ==="
+preflight stage1b || exit 1
+(cd parity_runs/best10_r3 && stdbuf -oL python -m ratio_guided_multimodal_fm_tpu.cli.evaluate     --num_samples 512 --mc_batch_size 256 --num_steps 100 --dtype bf16     --guidance_methods none mc_feng --guidance_strengths 0 0.5 1.0)
+cp parity_runs/best10_r3/outputs/evaluation_results.json    docs/results_r3/best10_default_eval.json && echo "stage 1b saved"
+
 echo "=== stage 2: frontier sweep ==="
 bash scripts/frontier_sweep.sh
 
