@@ -10,10 +10,11 @@ Headline workload = the reference's own end-to-end eval unit
 100 Euler steps): B=512 guided pairs through the FULL pipeline — MC phase A
 (2x256-chain Euler) + guided phase B — as one jitted program. A B-sweep
 (64/256/512/1024) and the phase split are written to bench_details.json,
-with MFU computed from the compiled program's own cost analysis against the
-v5e bf16 peak (197 TFLOP/s). Note the architecture caps achievable MFU well
-below 100%: the parity U-Nets have 32-64 conv channels, so most MXU passes
-use a fraction of the 128x128 systolic array.
+with MFU computed from the ANALYTIC conv/dense FLOP count
+(core/flops.py) against the v5e bf16 peak (197 TFLOP/s). Round 2 computed
+MFU from compiled.cost_analysis(), which drops the lax.scan trip count and
+under-reported by ~25x (2.06% published for a ~57%-MFU program) — see
+docs/results_r3/mfu_roofline.json for the correction and the roofline.
 
 vs_baseline compares against the reference PyTorch implementation's CPU
 throughput for the same workload (the reference publishes no numbers —
@@ -111,19 +112,22 @@ def _time_config(sampler, params, batch: int, reps: int = 3):
     return min(times)
 
 
-def _flops_of(sampler, params, batch: int):
-    """Total FLOPs of the compiled program, from XLA's own cost analysis."""
-    import jax
+def _flops_of(batch: int):
+    """Analytic FLOPs of the full guided-sampler program.
 
-    try:
-        compiled = sampler.lower(params, jax.random.PRNGKey(1),
-                                 batch).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
-    except Exception:
-        return None
+    Round 2 used `compiled.cost_analysis()["flops"]`, which does NOT
+    multiply the lax.scan body by its trip count on this backend — the
+    published 2.06% MFU was a ~25× under-count of a sampler actually
+    running near 60% (cross-checked against per-layer conv FLOPs, the
+    measured step time, and the fused-conv contents of the device trace:
+    docs/results_r3/mfu_roofline.json). core/flops.py owns the closed-form
+    count now.
+    """
+    from ratio_guided_multimodal_fm_tpu.core.flops import (
+        guided_sampler_flops,
+    )
+
+    return guided_sampler_flops(batch, MC_BATCH, NUM_STEPS)
 
 
 def run_tpu_bench() -> dict:
@@ -155,7 +159,7 @@ def run_tpu_bench() -> dict:
     for b in SWEEP_B:
         t = _time_config(sampler, params, b)
         sweep[f"B={b}"] = round(b / t, 1)
-        fl = _flops_of(sampler, params, b)
+        fl = _flops_of(b)
         if fl:
             mfu[f"B={b}"] = round(100.0 * fl / t / PEAK_FLOPS_BF16, 2)
     details["batch_sweep_samples_per_sec"] = sweep
@@ -229,20 +233,13 @@ def run_tpu_bench() -> dict:
             fm_step, fm_state,
             lambda i: (xb, jax.random.PRNGKey(100 + i))), 1),
     }
-    # Train-step MFU from the compiled program's own FLOP count
-    # (VERDICT r2: "train-side perf has no baseline or MFU").
-    try:
-        ca = fm_step.lower(fm_state, xb,
-                           jax.random.PRNGKey(100)).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        fl = float(ca.get("flops", 0.0))
-        if fl:
-            rate = details["train_steps_per_sec"]["fm_svhn_B128"]
-            details["train_fm_mfu_pct"] = round(
-                100.0 * fl * rate / PEAK_FLOPS_BF16, 2)
-    except Exception:
-        pass
+    # Train-step MFU from analytic FLOPs (fwd + ~2x for backward; the
+    # cost_analysis route under-counts — see _flops_of docstring).
+    from ratio_guided_multimodal_fm_tpu.core.flops import svhn_unet_flops
+
+    rate = details["train_steps_per_sec"]["fm_svhn_B128"]
+    details["train_fm_mfu_pct"] = round(
+        100.0 * 3.0 * svhn_unet_flops(128) * rate / PEAK_FLOPS_BF16, 2)
     ratio_state = create_ratio_state(ratio, jax.random.PRNGKey(13),
                                      (32, 32, 1), (32, 32, 3), lr=1e-4,
                                      has_batch_stats=True)
