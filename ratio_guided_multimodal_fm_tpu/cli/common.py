@@ -24,8 +24,10 @@ from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
 
 def add_common_flags(p: argparse.ArgumentParser, seed_default: int = 42):
     p.add_argument("--device", type=str, default="tpu",
-                   help="Accepted for reference-CLI compatibility; JAX "
-                        "selects the backend (set JAX_PLATFORMS to override)")
+                   help="Backend: 'tpu' (default; whatever JAX selects) or "
+                        "'cpu' to force the CPU backend. Needed because the "
+                        "site hook pre-imports jax, so JAX_PLATFORMS set in "
+                        "the environment can be clobbered before main() runs")
     p.add_argument("--seed", type=int, default=seed_default,
                    help="Random seed for reproducibility")
     p.add_argument("--data_root", type=str, default="./data",
@@ -49,8 +51,13 @@ def add_common_flags(p: argparse.ArgumentParser, seed_default: int = 42):
 
 
 def init_runtime(args):
-    """Per-CLI runtime setup: multi-host init (no-op single-process).
-    Returns (process_index, process_count)."""
+    """Per-CLI runtime setup: backend override + multi-host init (no-op
+    single-process). Returns (process_index, process_count)."""
+    if getattr(args, "device", "tpu") == "cpu":
+        import jax as _jax
+        # Backends init lazily, so this still works after the site hook's
+        # early `import jax` (which defeats env-var JAX_PLATFORMS).
+        _jax.config.update("jax_platforms", "cpu")
     from ratio_guided_multimodal_fm_tpu.parallel.multihost import (
         maybe_init_distributed,
     )

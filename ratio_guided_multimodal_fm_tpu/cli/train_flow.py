@@ -10,6 +10,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
+import shutil
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +52,11 @@ def main(argv=None):
                         help="Write JSONL epoch metrics here (observability)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Capture a jax.profiler trace of epoch 0")
+    parser.add_argument("--preempt_path", type=str, default=None,
+                        help="Preemption-safe training: on SIGTERM, save a "
+                             "step-granular resumable checkpoint here and exit; "
+                             "if it exists at startup, resume from it "
+                             "(bit-exact vs the uninterrupted run)")
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
@@ -81,6 +88,20 @@ def main(argv=None):
 
     best_path = get_checkpoint_path("flow", args.modality, transform_for_loader,
                                     "best")
+
+    # Preemption auto-resume (SURVEY §5.3): a prior SIGTERM'd run left
+    # {params, opt_state, epoch, step}; restore and skip to that position.
+    start_epoch = start_step = 0
+    if args.preempt_path and os.path.isdir(args.preempt_path):
+        from ratio_guided_multimodal_fm_tpu.train.checkpoint import load_checkpoint
+        restored = load_checkpoint(args.preempt_path, target={
+            "params": state.params, "opt_state": state.opt_state,
+            "epoch": 0, "step": 0})
+        state = state.replace(params=restored["params"],
+                              opt_state=restored["opt_state"])
+        start_epoch, start_step = int(restored["epoch"]), int(restored["step"])
+        print(f"Resuming preempted run: epoch {start_epoch}, "
+              f"step {start_step}")
     metrics_logger = None
     if args.metrics_dir:
         from ratio_guided_multimodal_fm_tpu.core.observability import MetricsLogger
@@ -89,14 +110,22 @@ def main(argv=None):
 
     from ratio_guided_multimodal_fm_tpu.core.observability import profile_trace
     with profile_trace(args.profile_dir):
-        train_flow_matching_epochs(
+        _, _, history = train_flow_matching_epochs(
             state, step, data_iter, args.epochs, rng,
             best_path=best_path,
             periodic_path_fn=lambda e: get_checkpoint_path(
                 "flow", args.modality, transform_for_loader, f"epoch{e}"),
             save_every=args.save_every, patience=args.patience,
-            metrics_logger=metrics_logger)
+            metrics_logger=metrics_logger,
+            preempt_path=args.preempt_path,
+            start_epoch=start_epoch, start_step=start_step)
 
+    if history and history[-1].get("preempted"):
+        print("\nPreempted — resumable checkpoint saved; rerun the same "
+              "command to continue.")
+        return
+    if args.preempt_path and os.path.isdir(args.preempt_path):
+        shutil.rmtree(args.preempt_path)   # completed: clear resume state
     print("\nTraining complete!")
 
 

@@ -52,39 +52,86 @@ def train_flow_matching_epochs(
     patience: int = 10,
     log_fn: Callable[[str], None] = print,
     metrics_logger=None,
+    preempt_path: Optional[str] = None,
+    start_epoch: int = 0,
+    start_step: int = 0,
 ):
-    """Generic FM training driver. Returns (state, best_loss, history)."""
+    """Generic FM training driver. Returns (state, best_loss, history).
+
+    Preemption-safe (SURVEY §5.3): SIGTERM sets a flag (train/
+    preemption.py); the driver finishes the in-flight step, saves
+    {params, opt_state, epoch, step} to `preempt_path` and returns with
+    history[-1]["preempted"]=True. Resume by restoring the state and
+    passing (start_epoch, start_step). Exactness: per-step train keys are
+    fold_in(root, epoch, step) — position-addressed, not a sequential
+    stream — and the loaders reseed per epoch, so a mid-epoch restart
+    reproduces the uninterrupted run bit-for-bit
+    (tests/test_preemption.py).
+    """
+    from ratio_guided_multimodal_fm_tpu.train.preemption import (
+        PreemptionGuard,
+    )
+
     stopper = EarlyStopper(patience)
     history = []
-    for epoch in range(epochs):
-        t0 = time.time()
-        losses = []
-        for x1 in data_iter_fn(epoch):
-            state, loss = train_step(state, x1, rng.next())
-            losses.append(loss)
-        avg = float(np.mean([jax.device_get(l) for l in losses]))
-        dt = time.time() - t0
-        steps_per_sec = len(losses) / max(dt, 1e-9)
-        history.append({"epoch": epoch + 1, "loss": avg,
-                        "steps_per_sec": steps_per_sec})
-        if metrics_logger is not None:
-            metrics_logger.log(epoch + 1, {"loss": avg,
-                                           "steps_per_sec": steps_per_sec})
-        log_fn(f"Epoch {epoch+1}/{epochs} - Loss: {avg:.4f} "
-               f"({steps_per_sec:.1f} steps/s)")
+    root_key = rng.next()   # per-step keys derive from (epoch, step)
 
-        # Saves overlap the next epoch's compute (Orbax background thread);
-        # wait_for_saves() below barriers before returning, and
-        # load_checkpoint barriers too, so no half-written tree is ever read.
-        if stopper.update(avg):
-            if best_path:
-                save_checkpoint(best_path, state.params, async_save=True)
-                log_fn(f"  -> Saved best model: {best_path}")
-        if periodic_path_fn and (epoch + 1) % save_every == 0:
-            save_checkpoint(periodic_path_fn(epoch + 1), state.params,
-                            async_save=True)
-        if stopper.should_stop:
-            log_fn(f"\nEarly stopping after {epoch+1} epochs (patience={patience})")
-            break
+    def _save_preempt(epoch, step_i):
+        if preempt_path:
+            save_checkpoint(preempt_path, {
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "epoch": epoch,
+                "step": step_i,
+            })
+            log_fn(f"  -> Preempted: resumable checkpoint at "
+                   f"{preempt_path} (epoch {epoch}, step {step_i})")
+
+    guard_ctx = PreemptionGuard()
+    with guard_ctx as guard:
+        for epoch in range(start_epoch, epochs):
+            t0 = time.time()
+            losses = []
+            skip = start_step if epoch == start_epoch else 0
+            epoch_key = jax.random.fold_in(root_key, epoch)
+            for step_i, x1 in enumerate(data_iter_fn(epoch)):
+                if step_i < skip:
+                    continue
+                state, loss = train_step(
+                    state, x1, jax.random.fold_in(epoch_key, step_i))
+                losses.append(loss)
+                if guard.preempted:
+                    wait_for_saves()
+                    _save_preempt(epoch, step_i + 1)
+                    history.append({"epoch": epoch + 1,
+                                    "preempted_at_step": step_i + 1,
+                                    "preempted": True})
+                    wait_for_saves()
+                    return state, stopper.best, history
+            avg = float(np.mean([jax.device_get(l) for l in losses]))
+            dt = time.time() - t0
+            steps_per_sec = len(losses) / max(dt, 1e-9)
+            history.append({"epoch": epoch + 1, "loss": avg,
+                            "steps_per_sec": steps_per_sec})
+            if metrics_logger is not None:
+                metrics_logger.log(epoch + 1, {"loss": avg,
+                                               "steps_per_sec": steps_per_sec})
+            log_fn(f"Epoch {epoch+1}/{epochs} - Loss: {avg:.4f} "
+                   f"({steps_per_sec:.1f} steps/s)")
+
+            # Saves overlap the next epoch's compute (Orbax background
+            # thread); wait_for_saves() below barriers before returning, and
+            # load_checkpoint barriers too, so no half-written tree is read.
+            if stopper.update(avg):
+                if best_path:
+                    save_checkpoint(best_path, state.params, async_save=True)
+                    log_fn(f"  -> Saved best model: {best_path}")
+            if periodic_path_fn and (epoch + 1) % save_every == 0:
+                save_checkpoint(periodic_path_fn(epoch + 1), state.params,
+                                async_save=True)
+            if stopper.should_stop:
+                log_fn(f"\nEarly stopping after {epoch+1} epochs "
+                       f"(patience={patience})")
+                break
     wait_for_saves()
     return state, stopper.best, history
