@@ -78,6 +78,26 @@ def euler_scan(velocity_fn: Callable, x0: jax.Array, num_steps: int = 100,
     return x1
 
 
+def euler_scan_pair(pair_fn: Callable, x0: jax.Array, y0: jax.Array,
+                    num_steps: int = 100, unroll: int = 1):
+    """Paired Euler integrator: both modality ODEs advance in ONE scan so a
+    merged-pair velocity fn (models/merged.py) evaluates both U-Nets as a
+    single grouped-conv program. Same t-grid/numerics as euler_scan."""
+    dt = 1.0 / num_steps
+
+    def step(carry, i):
+        x_t, y_t = carry
+        t = jnp.full((x0.shape[0],), i * dt, jnp.float32)
+        v_x, v_y = pair_fn(x_t, y_t, t)
+        return (x_t + v_x.astype(jnp.float32) * dt,
+                y_t + v_y.astype(jnp.float32) * dt), None
+
+    (x1, y1), _ = jax.lax.scan(step, (x0.astype(jnp.float32),
+                                      y0.astype(jnp.float32)),
+                               jnp.arange(num_steps), unroll=unroll)
+    return x1, y1
+
+
 @partial(jax.jit, static_argnums=(0, 2, 3))
 def euler_sample(velocity_fn: Callable, key: jax.Array, shape: tuple, num_steps: int = 100):
     """Integrate the flow ODE prior→data with a fused lax.scan Euler loop.
