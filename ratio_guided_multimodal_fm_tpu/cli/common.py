@@ -48,6 +48,10 @@ def add_common_flags(p: argparse.ArgumentParser, seed_default: int = 42):
     p.add_argument("--no_prefetch", action="store_true",
                    help="disable the background device-prefetch input "
                         "pipeline (data/prefetch.py)")
+    p.add_argument("--no_merged_unet", action="store_true",
+                   help="evaluate the two velocity nets as separate "
+                        "programs instead of the merged grouped-conv "
+                        "pair (models/merged.py; identical math)")
 
 
 def init_runtime(args):
@@ -99,6 +103,24 @@ def fm_model(kind: str, img_size: int = 28, dtype=None):
 def velocity_fn(model, params):
     """Closure (x, t) -> v with fixed params (inference, no dropout)."""
     return lambda x, t: model.apply({"params": params}, x, t)
+
+
+def maybe_merged_pair_fn(model_x, model_y, params_x, params_y, args=None):
+    """(x, y, t) -> (v_x, v_y) evaluating BOTH nets as one grouped-conv
+    program (models/merged.py) when their topologies match; None otherwise
+    or under --no_merged_unet. Math is identical either way."""
+    if args is not None and getattr(args, "no_merged_unet", False):
+        return None
+    from ratio_guided_multimodal_fm_tpu.models.merged import (
+        can_merge,
+        make_merged_velocity_fn,
+        merge_unet_params,
+    )
+    if not can_merge(model_x, model_y):
+        return None
+    merged = merge_unet_params(params_x, params_y)
+    f = make_merged_velocity_fn(model_x)
+    return lambda x, y, t: f(merged, x, y, t)
 
 
 def ratio_log_fn(model, variables):

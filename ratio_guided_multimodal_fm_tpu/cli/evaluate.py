@@ -19,6 +19,7 @@ from ratio_guided_multimodal_fm_tpu.cli.common import (
     add_common_flags,
     fm_model,
     load_params_or_exit,
+    maybe_merged_pair_fn,
     ratio_log_fn,
     report_guidance_diagnostics,
     velocity_fn,
@@ -112,7 +113,9 @@ def main(argv=None):
     path_y = get_checkpoint_path("flow", "y", args.transform_type, "best")
     params_x = load_params_or_exit(path_x, init["params"], "FM_x", "")
     params_y = load_params_or_exit(path_y, init["params"], "FM_y", "")
-    print("  Loaded FM_x and FM_y")
+    fm_pair = maybe_merged_pair_fn(model, model, params_x, params_y, args)
+    print("  Loaded FM_x and FM_y"
+          + (" (merged-pair evaluation)" if fm_pair is not None else ""))
 
     real_images = None
     if args.fid:
@@ -155,7 +158,8 @@ def main(argv=None):
                         velocity_fn(model, params_x),
                         velocity_fn(model, params_y), _lr, k,
                         args.mc_batch_size, (28, 28, 1), (28, 28, 1),
-                        args.num_steps, log_ratio_clip=args.ratio_clip)
+                        args.num_steps, log_ratio_clip=args.ratio_clip,
+                        fm_pair_fn=fm_pair)
 
             def sample_chunk(ck, n_i, mc_ci, _lr=log_ratio,
                              _m=method, _g=strength):
@@ -170,6 +174,7 @@ def main(argv=None):
                     mc_set=mc_ci, ess_floor=args.ess_floor,
                     grad_strength=args.grad_strength,
                     grad_scale=args.grad_scale, grad_t_max=args.grad_t_max,
+                    fm_pair_fn=fm_pair,
                     return_diagnostics=True)
 
             print(f"  Sampling {args.num_samples} pairs...")

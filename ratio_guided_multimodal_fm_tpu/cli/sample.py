@@ -16,6 +16,7 @@ from ratio_guided_multimodal_fm_tpu.cli.common import (
     add_common_flags,
     fm_model,
     load_params_or_exit,
+    maybe_merged_pair_fn,
     ratio_log_fn,
     report_guidance_diagnostics,
     velocity_fn,
@@ -99,6 +100,8 @@ def main(argv=None):
 
     samples_x, samples_y, diags = sample_bimodal_guided(
         velocity_fn(model, params_x), velocity_fn(model, params_y),
+        fm_pair_fn=maybe_merged_pair_fn(model, model, params_x, params_y,
+                                        args),
         log_ratio_fn=log_ratio,
         guidance_method=args.guidance_method,
         guidance_strength=args.guidance_strength,

@@ -71,18 +71,20 @@ class SamplerService:
 
     def __init__(self, fm_x_fn, fm_y_fn, log_ratio_fn, x_shape, y_shape,
                  batch_size=64, num_steps=100, mc_batch_size=256, seed=0,
-                 linger_ms: float = 10.0):
+                 linger_ms: float = 10.0, fm_pair_fn=None):
         self.batch_size = batch_size
         self.x_shape = tuple(x_shape)
         self.y_shape = tuple(y_shape)
         self.num_steps = num_steps
         self._samplers = {}
         self._fm_x, self._fm_y, self._log_ratio = fm_x_fn, fm_y_fn, log_ratio_fn
+        self._fm_pair = fm_pair_fn  # merged-pair evaluation (models/merged.py)
         self._mc_set = None
         if log_ratio_fn is not None:
             self._mc_set = generate_mc_set(
                 fm_x_fn, fm_y_fn, log_ratio_fn, jax.random.PRNGKey(seed),
-                mc_batch_size, self.x_shape, self.y_shape, num_steps)
+                mc_batch_size, self.x_shape, self.y_shape, num_steps,
+                fm_pair_fn=fm_pair_fn)
             # np.asarray readback = real barrier (block_until_ready
             # returns early on the axon TPU backend); keeps the MC set
             # materialized before the server accepts traffic.
@@ -105,7 +107,8 @@ class SamplerService:
                 x_shape=self.x_shape, y_shape=self.y_shape)
             self._samplers[key] = jax.jit(
                 make_guided_sampler(self._fm_x, self._fm_y, cfg,
-                                    self._log_ratio),
+                                    self._log_ratio,
+                                    fm_pair_fn=self._fm_pair),
                 static_argnums=(1,))
         return self._samplers[key]
 
@@ -324,11 +327,14 @@ def main(argv=None):
             get_checkpoint_path("ratio", args.loss_type, args.transform_type,
                                 "best"),
             r_init["params"], "ratio", "train it first")
+        from ratio_guided_multimodal_fm_tpu.cli.common import (
+            maybe_merged_pair_fn)
         service = SamplerService(
             velocity_fn(model, px), velocity_fn(model, py),
             ratio_log_fn(ratio, {"params": pr}),
             (28, 28, 1), (28, 28, 1), args.batch_size, args.num_steps,
-            args.mc_batch_size, args.seed)
+            args.mc_batch_size, args.seed,
+            fm_pair_fn=maybe_merged_pair_fn(model, model, px, py, args))
 
     print("Warming up (compiling samplers)...")
     service.warmup(("none", "mc_feng"))

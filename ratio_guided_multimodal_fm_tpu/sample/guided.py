@@ -57,7 +57,7 @@ import jax
 import jax.numpy as jnp
 
 from ratio_guided_multimodal_fm_tpu.core.guards import check_finite
-from ratio_guided_multimodal_fm_tpu.flow.cfm import euler_scan
+from ratio_guided_multimodal_fm_tpu.flow.cfm import euler_scan, euler_scan_pair
 
 EPS_T = 1e-3  # guidance gate / sigma floor, matches ref flow_utils.py:224,279
 
@@ -276,6 +276,7 @@ def _make_guided_step(
     log_ratio_fn: Optional[Callable],   # (x, y) -> [B], params bound
     mc_set,                        # (mc_x1, mc_y1, mc_ratios) or None
     mc_axis: Optional[str],
+    fm_pair_fn: Optional[Callable] = None,  # (x, y, t[B]) -> (v_x, v_y)
 ):
     """Build the main-ODE scan body shared by the single-device and the
     distributed (shard_map) samplers — ONE implementation of the guided
@@ -301,8 +302,15 @@ def _make_guided_step(
         x_t, y_t = carry
         t = i * dt
         tb = jnp.full((x_t.shape[0],), t, jnp.float32)
-        v_x = fm_x_fn(x_t, tb).astype(jnp.float32)
-        v_y = fm_y_fn(y_t, tb).astype(jnp.float32)
+        if fm_pair_fn is not None:
+            # Merged-pair path (models/merged.py): one grouped-conv
+            # program evaluates both U-Nets — identical math.
+            v_x, v_y = fm_pair_fn(x_t, y_t, tb)
+            v_x = v_x.astype(jnp.float32)
+            v_y = v_y.astype(jnp.float32)
+        else:
+            v_x = fm_x_fn(x_t, tb).astype(jnp.float32)
+            v_y = fm_y_fn(y_t, tb).astype(jnp.float32)
 
         diag = {}
         if use_mc:
@@ -360,6 +368,11 @@ def make_guided_sampler_p(
     cfg: GuidedSamplerConfig,
     log_ratio_apply: Optional[Callable] = None,  # (ratio_vars, x, y) -> [B]
     mc_axis: Optional[str] = None,
+    fm_pair_apply: Optional[Callable] = None,
+    # (params_x, params_y, x, y, t[B]) -> (v_x, v_y): merged-pair
+    # evaluation of both velocity nets in one program (models/merged.py,
+    # same-topology nets only). Used for the main ODE loop always, and
+    # for phase A when x_shape == y_shape.
 ):
     """Build the fused guided sampler with params as runtime arguments:
 
@@ -387,6 +400,10 @@ def make_guided_sampler_p(
         params_x, params_y, ratio_vars = params
         fm_x_fn = lambda x, t: fm_x_apply(params_x, x, t)   # noqa: E731
         fm_y_fn = lambda y, t: fm_y_apply(params_y, y, t)   # noqa: E731
+        fm_pair_fn = None
+        if fm_pair_apply is not None:
+            fm_pair_fn = lambda x, y, t: fm_pair_apply(   # noqa: E731
+                params_x, params_y, x, y, t)
         log_ratio_fn = None
         if log_ratio_apply is not None:
             log_ratio_fn = lambda x, y: log_ratio_apply(ratio_vars, x, y)  # noqa: E731
@@ -408,10 +425,15 @@ def make_guided_sampler_p(
                                    jnp.float32)
             y0 = jax.random.normal(kmy, (cfg.mc_batch_size,) + cfg.y_shape,
                                    jnp.float32)
-            mc_x1 = euler_scan(fm_x_fn, x0, num_steps,
-                               unroll=cfg.scan_unroll)
-            mc_y1 = euler_scan(fm_y_fn, y0, num_steps,
-                               unroll=cfg.scan_unroll)
+            if fm_pair_fn is not None and cfg.x_shape == cfg.y_shape:
+                mc_x1, mc_y1 = euler_scan_pair(fm_pair_fn, x0, y0,
+                                               num_steps,
+                                               unroll=cfg.scan_unroll)
+            else:
+                mc_x1 = euler_scan(fm_x_fn, x0, num_steps,
+                                   unroll=cfg.scan_unroll)
+                mc_y1 = euler_scan(fm_y_fn, y0, num_steps,
+                                   unroll=cfg.scan_unroll)
             log_r = log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32)
             if cfg.log_ratio_clip is not None:
                 log_r = jnp.clip(log_r, -cfg.log_ratio_clip,
@@ -419,7 +441,7 @@ def make_guided_sampler_p(
             mc_set = (mc_x1, mc_y1, safe_exp_log_r(log_r))
 
         step = _make_guided_step(fm_x_fn, fm_y_fn, cfg, log_ratio_fn,
-                                 mc_set, mc_axis)
+                                 mc_set, mc_axis, fm_pair_fn=fm_pair_fn)
         (x_t, y_t), diags = jax.lax.scan(step, (x_t, y_t),
                                          jnp.arange(num_steps),
                                          unroll=cfg.scan_unroll)
@@ -434,6 +456,7 @@ def make_guided_sampler(
     cfg: GuidedSamplerConfig,
     log_ratio_fn: Optional[Callable] = None,  # (x, y) -> [B]
     mc_axis: Optional[str] = None,
+    fm_pair_fn: Optional[Callable] = None,    # (x, y, t[B]) -> (v_x, v_y)
 ):
     """Closure-sugar variant: params are baked into the callables.
 
@@ -447,6 +470,8 @@ def make_guided_sampler(
         cfg,
         None if log_ratio_fn is None else (lambda _, x, y: log_ratio_fn(x, y)),
         mc_axis=mc_axis,
+        fm_pair_apply=None if fm_pair_fn is None else (
+            lambda _px, _py, x, y, t: fm_pair_fn(x, y, t)),
     )
 
     def sampler(key: jax.Array, num_samples: int, mc_set=None,
@@ -467,20 +492,31 @@ def generate_mc_set(
     y_shape: Tuple[int, ...],
     num_steps: int = 100,
     log_ratio_clip: Optional[float] = None,
+    fm_pair_fn: Optional[Callable] = None,
 ):
     """Generate the Monte-Carlo guidance set once: (mc_x1, mc_y1, mc_ratios).
 
     Phase A of the sampler as a standalone (jitted) computation, so eval
     sweeps can reuse one set across guidance strengths — ~70% of per-config
     sampling cost at the default N_mc=256 (measured on v5e).
+    `fm_pair_fn` (merged-pair evaluation, models/merged.py) integrates both
+    ODEs in one scan when the modality shapes match.
     """
     from ratio_guided_multimodal_fm_tpu.flow.cfm import euler_sample
 
     kmx, kmy = jax.random.split(jax.random.fold_in(key, 2))
-    mc_x1 = euler_sample(fm_x_fn, kmx, (mc_batch_size,) + tuple(x_shape),
-                         num_steps)
-    mc_y1 = euler_sample(fm_y_fn, kmy, (mc_batch_size,) + tuple(y_shape),
-                         num_steps)
+    if fm_pair_fn is not None and tuple(x_shape) == tuple(y_shape):
+        x0 = jax.random.normal(kmx, (mc_batch_size,) + tuple(x_shape),
+                               jnp.float32)
+        y0 = jax.random.normal(kmy, (mc_batch_size,) + tuple(y_shape),
+                               jnp.float32)
+        mc_x1, mc_y1 = jax.jit(euler_scan_pair, static_argnums=(0, 3))(
+            fm_pair_fn, x0, y0, num_steps)
+    else:
+        mc_x1 = euler_sample(fm_x_fn, kmx, (mc_batch_size,) + tuple(x_shape),
+                             num_steps)
+        mc_y1 = euler_sample(fm_y_fn, kmy, (mc_batch_size,) + tuple(y_shape),
+                             num_steps)
     log_r = log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32)
     if log_ratio_clip is not None:
         log_r = jnp.clip(log_r, -log_ratio_clip, log_ratio_clip)
@@ -506,9 +542,11 @@ def sample_bimodal_guided(
     grad_strength: Optional[float] = None,
     grad_scale: str = "const",
     grad_t_max: float = 1.0,
+    fm_pair_fn: Optional[Callable] = None,
 ):
     """Convenience wrapper with the reference's argument surface
     (flow_utils.py:178-213). Returns (samples_x, samples_y) NHWC in [-1,1]-ish.
+    `fm_pair_fn` opts into merged-pair evaluation (models/merged.py).
     """
     if key is None:
         key = jax.random.PRNGKey(42)
@@ -526,7 +564,8 @@ def sample_bimodal_guided(
         grad_t_max=grad_t_max,
     )
     sampler = jax.jit(
-        make_guided_sampler(fm_x_fn, fm_y_fn, cfg, log_ratio_fn),
+        make_guided_sampler(fm_x_fn, fm_y_fn, cfg, log_ratio_fn,
+                            fm_pair_fn=fm_pair_fn),
         static_argnums=(1,),
     )
     x1, y1, diags = sampler(key, num_samples, mc_set)

@@ -247,6 +247,15 @@ def main():
     fx = lambda x, t: fm_x.apply({"params": sx.params}, x, t)  # noqa: E731
     fy = lambda y, t: fm_y.apply({"params": sy.params}, y, t)  # noqa: E731
 
+    # The two modality nets share one topology -> merged-pair evaluation
+    # (models/merged.py): both U-Nets per ODE step as ONE grouped-conv
+    # program.
+    from ratio_guided_multimodal_fm_tpu.models.merged import (
+        can_merge, merged_pair_apply)
+    pair_apply = merged_pair_apply(fm_x) if can_merge(fm_x, fm_y) else None
+    fpair = None if pair_apply is None else (  # closure form for gen_mc_set
+        lambda x, y, t: pair_apply(sx.params, sy.params, x, y, t))
+
     # fresh-MC-set-per-chunk eval (the framework default, eval/chunked.py)
     mc_sets = {}
 
@@ -254,7 +263,7 @@ def main():
         if ci not in mc_sets:
             mc_sets[ci] = generate_mc_set(
                 fx, fy, lr_fn, key, args.mc_batch_size, (64, 64, 3),
-                (64, 64, 3), args.num_steps)
+                (64, 64, 3), args.num_steps, fm_pair_fn=fpair)
             _sync(mc_sets[ci][2])
         return mc_sets[ci]
 
@@ -269,7 +278,8 @@ def main():
             lambda p, y, t: fm_y.apply({"params": p}, y, t),
             cfg, None if method == "none" else
             (lambda v, a, b: ratio.apply({"params": v}, a, b,
-                                         method=ratio.log_ratio))),
+                                         method=ratio.log_ratio)),
+            fm_pair_apply=pair_apply),
             static_argnums=(2,))
         params = (sx.params, sy.params, rs.params)
 

@@ -68,3 +68,67 @@ def test_merged_three_level_net():
 def test_can_merge_rejects_mismatched_topology():
     assert not can_merge(FlowMatchingUNet(), FlowMatchingUNetSVHN())
     assert not can_merge(FlowMatchingUNet(), object())
+
+
+def test_sampler_merged_path_matches_separate():
+    """End-to-end: sample_bimodal_guided with fm_pair_fn (merged grouped-conv
+    evaluation, wired by cli/common.py:maybe_merged_pair_fn) must reproduce
+    the per-net path bit-for-bit-ish on both phases (MC set + main ODE)."""
+    from ratio_guided_multimodal_fm_tpu.sample.guided import (
+        sample_bimodal_guided,
+    )
+
+    model = FlexibleUNet(in_channels=1, img_size=8, model_channels=8,
+                         channel_mult=(1, 2), num_res_blocks=1)
+    px = _init(model, jax.random.PRNGKey(0), 8, 1)
+    py = _init(model, jax.random.PRNGKey(1), 8, 1)
+    fx = lambda x, t: model.apply({"params": px}, x, t)    # noqa: E731
+    fy = lambda y, t: model.apply({"params": py}, y, t)    # noqa: E731
+    mf = make_merged_velocity_fn(model)
+    merged = merge_unet_params(px, py)
+    fpair = lambda x, y, t: mf(merged, x, y, t)            # noqa: E731
+    log_ratio = lambda a, b: jnp.sum(a * b, axis=(1, 2, 3))  # noqa: E731
+
+    kw = dict(log_ratio_fn=log_ratio, guidance_method="mc_feng",
+              guidance_strength=0.7, num_samples=4, num_steps=6,
+              mc_batch_size=8, x_shape=(8, 8, 1), y_shape=(8, 8, 1),
+              key=jax.random.PRNGKey(5))
+    xs_ref, ys_ref = sample_bimodal_guided(fx, fy, **kw)
+    xs, ys = sample_bimodal_guided(fx, fy, fm_pair_fn=fpair, **kw)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_ref),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref),
+                               rtol=0, atol=5e-5)
+
+
+def test_maybe_merged_pair_fn_gating():
+    """cli/common.py helper: None for mismatched nets or --no_merged_unet;
+    a working (x, y, t) -> (v_x, v_y) closure when topologies match."""
+    import argparse
+
+    from ratio_guided_multimodal_fm_tpu.cli.common import (
+        maybe_merged_pair_fn,
+    )
+
+    model = FlexibleUNet(in_channels=1, img_size=8, model_channels=8,
+                         channel_mult=(1, 2), num_res_blocks=1)
+    px = _init(model, jax.random.PRNGKey(0), 8, 1)
+    py = _init(model, jax.random.PRNGKey(1), 8, 1)
+
+    off = argparse.Namespace(no_merged_unet=True)
+    assert maybe_merged_pair_fn(model, model, px, py, off) is None
+    assert maybe_merged_pair_fn(model, FlowMatchingUNetSVHN(), px, py,
+                                argparse.Namespace(no_merged_unet=False)) \
+        is None
+
+    f = maybe_merged_pair_fn(model, model, px, py,
+                             argparse.Namespace(no_merged_unet=False))
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 1))
+    t = jnp.array([0.2, 0.8])
+    vx, vy = f(x, x, t)
+    np.testing.assert_allclose(
+        np.asarray(vx), np.asarray(model.apply({"params": px}, x, t)),
+        rtol=0, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(vy), np.asarray(model.apply({"params": py}, x, t)),
+        rtol=0, atol=2e-5)
