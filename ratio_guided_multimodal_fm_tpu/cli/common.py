@@ -48,10 +48,13 @@ def add_common_flags(p: argparse.ArgumentParser, seed_default: int = 42):
     p.add_argument("--no_prefetch", action="store_true",
                    help="disable the background device-prefetch input "
                         "pipeline (data/prefetch.py)")
-    p.add_argument("--no_merged_unet", action="store_true",
-                   help="evaluate the two velocity nets as separate "
-                        "programs instead of the merged grouped-conv "
-                        "pair (models/merged.py; identical math)")
+    p.add_argument("--merged_unet", action="store_true",
+                   help="evaluate the two velocity nets as one merged "
+                        "grouped-conv program (models/merged.py; identical "
+                        "math, same-topology pairs only). OFF by default: "
+                        "measured 31%% SLOWER on v5e at the exp-1 workload "
+                        "(docs/results_r3/merged_experiment.json) — XLA's "
+                        "grouped-conv lowering loses to two dense convs")
 
 
 def init_runtime(args):
@@ -107,9 +110,11 @@ def velocity_fn(model, params):
 
 def maybe_merged_pair_fn(model_x, model_y, params_x, params_y, args=None):
     """(x, y, t) -> (v_x, v_y) evaluating BOTH nets as one grouped-conv
-    program (models/merged.py) when their topologies match; None otherwise
-    or under --no_merged_unet. Math is identical either way."""
-    if args is not None and getattr(args, "no_merged_unet", False):
+    program (models/merged.py) when their topologies match AND the user
+    passed --merged_unet; None otherwise. Math is identical either way;
+    the merged program measured 31% slower on v5e (merged_experiment.json)
+    so separate evaluation is the default."""
+    if args is None or not getattr(args, "merged_unet", False):
         return None
     from ratio_guided_multimodal_fm_tpu.models.merged import (
         can_merge,

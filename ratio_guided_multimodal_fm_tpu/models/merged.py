@@ -8,9 +8,16 @@ topology (ref unet.py:282-305 — in=1, ch=32, mult=(1,2), 2 res blocks),
 so every conv pair (same kh,kw,Cin,Cout, different weights) can execute
 as a single `lax.conv_general_dilated(feature_group_count=2)` with the
 two kernels concatenated on the output-feature axis: exact block-diagonal
-semantics with NO wasted FLOPs, half the op count, and double the
-MXU lane occupancy (32/64-channel convs fill only a fraction of the
-128-wide lanes — see docs/results_r3/mfu_roofline.json).
+semantics with NO wasted FLOPs and half the op count.
+
+MEASURED OUTCOME (v5e, docs/results_r3/merged_experiment.json): the
+merged program is ~31% SLOWER than two separate dense-conv evaluations
+at the exp-1 B=512 workload — XLA's grouped-conv lowering (plus the
+per-ResBlock interleave concats) costs more than the op-count halving
+saves, and at B=512 the separate convs already fill the MXU via the
+batch dimension (57% MFU, mfu_roofline.json). Kept as an OPT-IN
+(`--merged_unet`) with exactness tests, same pay-or-retire discipline as
+the retired GroupNorm Pallas kernel (ops/groupnorm_pallas.py).
 
 Layout: activations are part-major channel concats [B, H, W, 2*C]
 (part x first). GroupNorm stays exact because each part's channel count

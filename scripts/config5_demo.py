@@ -114,6 +114,9 @@ def main():
     p.add_argument("--num_samples", type=int, default=256)
     p.add_argument("--mc_batch_size", type=int, default=128)
     p.add_argument("--eval_chunks", type=int, default=4)
+    p.add_argument("--merged_unet", action="store_true",
+                   help="merged-pair U-Net evaluation (31%% slower on "
+                        "v5e — see merged_experiment.json)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--lr", type=float, default=2e-4)
     # 64px discriminators sit on the chance plateau (ROUND2.md §6):
@@ -247,14 +250,17 @@ def main():
     fx = lambda x, t: fm_x.apply({"params": sx.params}, x, t)  # noqa: E731
     fy = lambda y, t: fm_y.apply({"params": sy.params}, y, t)  # noqa: E731
 
-    # The two modality nets share one topology -> merged-pair evaluation
-    # (models/merged.py): both U-Nets per ODE step as ONE grouped-conv
-    # program.
-    from ratio_guided_multimodal_fm_tpu.models.merged import (
-        can_merge, merged_pair_apply)
-    pair_apply = merged_pair_apply(fm_x) if can_merge(fm_x, fm_y) else None
-    fpair = None if pair_apply is None else (  # closure form for gen_mc_set
-        lambda x, y, t: pair_apply(sx.params, sy.params, x, y, t))
+    # Merged-pair evaluation (models/merged.py) is available for this
+    # same-topology pair via --merged_unet, but defaults OFF: it measured
+    # 31% slower on v5e (docs/results_r3/merged_experiment.json).
+    pair_apply = fpair = None
+    if getattr(args, "merged_unet", False):
+        from ratio_guided_multimodal_fm_tpu.models.merged import (
+            can_merge, merged_pair_apply)
+        if can_merge(fm_x, fm_y):
+            pair_apply = merged_pair_apply(fm_x)
+            fpair = lambda x, y, t: pair_apply(  # noqa: E731
+                sx.params, sy.params, x, y, t)
 
     # fresh-MC-set-per-chunk eval (the framework default, eval/chunked.py)
     mc_sets = {}

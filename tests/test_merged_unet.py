@@ -102,8 +102,9 @@ def test_sampler_merged_path_matches_separate():
 
 
 def test_maybe_merged_pair_fn_gating():
-    """cli/common.py helper: None for mismatched nets or --no_merged_unet;
-    a working (x, y, t) -> (v_x, v_y) closure when topologies match."""
+    """cli/common.py helper: merged evaluation is OPT-IN (--merged_unet;
+    it measured slower on v5e) and still refuses mismatched topologies;
+    when enabled it returns a working (x, y, t) -> (v_x, v_y) closure."""
     import argparse
 
     from ratio_guided_multimodal_fm_tpu.cli.common import (
@@ -115,14 +116,17 @@ def test_maybe_merged_pair_fn_gating():
     px = _init(model, jax.random.PRNGKey(0), 8, 1)
     py = _init(model, jax.random.PRNGKey(1), 8, 1)
 
-    off = argparse.Namespace(no_merged_unet=True)
-    assert maybe_merged_pair_fn(model, model, px, py, off) is None
+    # default (flag absent or False) -> separate evaluation
+    assert maybe_merged_pair_fn(model, model, px, py, None) is None
+    assert maybe_merged_pair_fn(
+        model, model, px, py, argparse.Namespace(merged_unet=False)) is None
+    # opt-in but mismatched topology -> refused
     assert maybe_merged_pair_fn(model, FlowMatchingUNetSVHN(), px, py,
-                                argparse.Namespace(no_merged_unet=False)) \
+                                argparse.Namespace(merged_unet=True)) \
         is None
 
     f = maybe_merged_pair_fn(model, model, px, py,
-                             argparse.Namespace(no_merged_unet=False))
+                             argparse.Namespace(merged_unet=True))
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 1))
     t = jnp.array([0.2, 0.8])
     vx, vy = f(x, x, t)
