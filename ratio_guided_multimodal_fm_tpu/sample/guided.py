@@ -370,9 +370,9 @@ def make_guided_sampler_p(
     mc_axis: Optional[str] = None,
     fm_pair_apply: Optional[Callable] = None,
     # (params_x, params_y, x, y, t[B]) -> (v_x, v_y): merged-pair
-    # evaluation of both velocity nets in one program (models/merged.py,
-    # same-topology nets only). Used for the main ODE loop always, and
-    # for phase A when x_shape == y_shape.
+    # evaluation of both velocity nets in one program (models/merged.py).
+    # Same-topology nets only, which implies x_shape == y_shape —
+    # enforced below so the main-ODE and phase-A paths can't diverge.
 ):
     """Build the fused guided sampler with params as runtime arguments:
 
@@ -394,6 +394,11 @@ def make_guided_sampler_p(
     method = cfg.guidance_method
     num_steps = cfg.num_steps
     guided = method != "none" and log_ratio_apply is not None
+    if fm_pair_apply is not None and cfg.x_shape != cfg.y_shape:
+        raise ValueError(
+            "fm_pair_apply (merged-pair evaluation) requires "
+            f"x_shape == y_shape, got {cfg.x_shape} vs {cfg.y_shape} — "
+            "mergeable nets share a topology (models/merged.py:can_merge)")
 
     def sampler(params, key: jax.Array, num_samples: int,
                 mc_set=None, init_noise=None):
@@ -425,7 +430,7 @@ def make_guided_sampler_p(
                                    jnp.float32)
             y0 = jax.random.normal(kmy, (cfg.mc_batch_size,) + cfg.y_shape,
                                    jnp.float32)
-            if fm_pair_fn is not None and cfg.x_shape == cfg.y_shape:
+            if fm_pair_fn is not None:   # x_shape == y_shape guaranteed
                 mc_x1, mc_y1 = euler_scan_pair(fm_pair_fn, x0, y0,
                                                num_steps,
                                                unroll=cfg.scan_unroll)

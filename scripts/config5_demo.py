@@ -252,15 +252,16 @@ def main():
 
     # Merged-pair evaluation (models/merged.py) is available for this
     # same-topology pair via --merged_unet, but defaults OFF: it measured
-    # 31% slower on v5e (docs/results_r3/merged_experiment.json).
-    pair_apply = fpair = None
+    # 31% slower on v5e (docs/results_r3/merged_experiment.json). Only the
+    # SAMPLER uses it (params enter as jit arguments); the MC-set path
+    # keeps separate evaluation — a closure over the two 37.4M-param trees
+    # risks the remote compiler's serialized-constant limit (CLAUDE.md).
+    pair_apply = None
     if getattr(args, "merged_unet", False):
         from ratio_guided_multimodal_fm_tpu.models.merged import (
             can_merge, merged_pair_apply)
         if can_merge(fm_x, fm_y):
             pair_apply = merged_pair_apply(fm_x)
-            fpair = lambda x, y, t: pair_apply(  # noqa: E731
-                sx.params, sy.params, x, y, t)
 
     # fresh-MC-set-per-chunk eval (the framework default, eval/chunked.py)
     mc_sets = {}
@@ -269,7 +270,7 @@ def main():
         if ci not in mc_sets:
             mc_sets[ci] = generate_mc_set(
                 fx, fy, lr_fn, key, args.mc_batch_size, (64, 64, 3),
-                (64, 64, 3), args.num_steps, fm_pair_fn=fpair)
+                (64, 64, 3), args.num_steps)
             _sync(mc_sets[ci][2])
         return mc_sets[ci]
 

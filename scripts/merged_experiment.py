@@ -4,7 +4,7 @@ Workload: experiment-1 twin sampler (two FlowMatchingUNets, 28px, 901K
 params each — ref unet.py:282-305), B=512, N_mc=256, 100 Euler steps,
 mc_feng — the same protocol as bench.py's headline but on the
 same-topology pair where merging applies. Times the FULL pipeline
-(phase A + main ODE) and the main ODE alone, merged vs separate.
+(phase A + main ODE), merged vs separate.
 
 Writes docs/results_r3/merged_experiment.json.
 

@@ -10,6 +10,7 @@ set -u
 cd "$(dirname "$0")/.."
 REPO=$(pwd)
 export PYTHONPATH=$REPO:${PYTHONPATH:-}
+echo $$ > /tmp/tpu_queue_r3b.pid   # queue handshake: successors wait on this PID
 
 preflight() {
   for i in $(seq 1 30); do
@@ -27,11 +28,14 @@ stdbuf -oL python scripts/merged_experiment.py
 
 for SEED in 1234 7 99; do
   echo "=== stage 2: saturated default-flag eval, seed $SEED ==="
+  sleep 150   # lazy chip release after the previous stage (CLAUDE.md)
   preflight "seed$SEED" || exit 1
+  rm -f parity_runs/saturated_r3/outputs/evaluation_results.json
   (cd parity_runs/saturated_r3 && stdbuf -oL python -m ratio_guided_multimodal_fm_tpu.cli.evaluate \
       --num_samples 512 --mc_batch_size 256 --num_steps 100 --dtype bf16 \
       --seed $SEED \
-      --guidance_methods none mc_feng --guidance_strengths 0 0.5 1.0)
+      --guidance_methods none mc_feng --guidance_strengths 0 0.5 1.0) \
+    || { echo "seed $SEED eval FAILED"; exit 1; }
   cp parity_runs/saturated_r3/outputs/evaluation_results.json \
      "docs/results_r3/saturated_default_eval_seed${SEED}.json" \
      && echo "seed $SEED saved"

@@ -8,11 +8,12 @@ set -u
 cd "$(dirname "$0")/.."
 REPO=$(pwd)
 export PYTHONPATH=$REPO:${PYTHONPATH:-}
+echo $$ > /tmp/tpu_queue_r3c.pid   # queue handshake: successors wait on this PID
 
 # queue discipline (CLAUDE.md): wait for the prior queue's PID, then the
 # lazy chip release, then preflight.
-if [ -f /tmp/queue_r3b.pid ]; then
-  PID=$(cat /tmp/queue_r3b.pid)
+if [ -f /tmp/tpu_queue_r3b.pid ]; then
+  PID=$(cat /tmp/tpu_queue_r3b.pid)
   while kill -0 "$PID" 2>/dev/null; do sleep 20; done
   echo "r3b queue exited; waiting for chip release"; sleep 150
 fi
@@ -31,14 +32,17 @@ echo "=== stage A: train rulsif ratio ==="
 preflight stageA || exit 1
 (cd parity_runs/rulsif_r3 && stdbuf -oL python -m ratio_guided_multimodal_fm_tpu.cli.train_ratio \
     --loss_type rulsif --transform_type rotate90 --epochs 15 \
-    --dtype bf16 2>&1 | tail -20)
+    --dtype bf16) || { echo "rulsif training FAILED"; exit 1; }
 
 echo "=== stage B: rulsif eval sweep (default flags) ==="
+sleep 150   # lazy chip release after stage A (CLAUDE.md)
 preflight stageB || exit 1
+rm -f parity_runs/rulsif_r3/outputs/evaluation_results.json
 (cd parity_runs/rulsif_r3 && stdbuf -oL python -m ratio_guided_multimodal_fm_tpu.cli.evaluate \
     --loss_type rulsif --num_samples 512 --mc_batch_size 256 \
     --num_steps 100 --dtype bf16 \
-    --guidance_methods none mc_feng --guidance_strengths 0 0.5 1.0)
+    --guidance_methods none mc_feng --guidance_strengths 0 0.5 1.0) \
+  || { echo "rulsif eval FAILED"; exit 1; }
 cp parity_runs/rulsif_r3/outputs/evaluation_results.json \
    docs/results_r3/rulsif_eval.json && echo "rulsif eval saved"
 echo "QUEUE_R3C DONE"

@@ -8,9 +8,10 @@ set -u
 cd "$(dirname "$0")/.."
 REPO=$(pwd)
 export PYTHONPATH=$REPO:${PYTHONPATH:-}
+echo $$ > /tmp/tpu_queue_r3d.pid   # queue handshake: successors wait on this PID
 
-if [ -f /tmp/queue_r3c.pid ]; then
-  PID=$(cat /tmp/queue_r3c.pid)
+if [ -f /tmp/tpu_queue_r3c.pid ]; then
+  PID=$(cat /tmp/tpu_queue_r3c.pid)
   while kill -0 "$PID" 2>/dev/null; do sleep 20; done
   echo "r3c queue exited; waiting for chip release"; sleep 150
 fi
@@ -27,11 +28,14 @@ preflight() {
 
 for SEED in 1234 42; do
   echo "=== saturated TRUE-default (f32) eval, seed $SEED ==="
+  sleep 150   # lazy chip release after the previous stage (CLAUDE.md)
   preflight "f32seed$SEED" || exit 1
+  rm -f parity_runs/saturated_r3/outputs/evaluation_results.json
   (cd parity_runs/saturated_r3 && stdbuf -oL python -m ratio_guided_multimodal_fm_tpu.cli.evaluate \
       --num_samples 512 --mc_batch_size 256 --num_steps 100 \
       --seed $SEED \
-      --guidance_methods none mc_feng --guidance_strengths 0 0.5 1.0)
+      --guidance_methods none mc_feng --guidance_strengths 0 0.5 1.0) \
+    || { echo "f32 seed $SEED eval FAILED"; exit 1; }
   cp parity_runs/saturated_r3/outputs/evaluation_results.json \
      "docs/results_r3/saturated_f32_eval_seed${SEED}.json" \
      && echo "f32 seed $SEED saved"
