@@ -52,6 +52,9 @@ def main(argv=None):
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
+    from ratio_guided_multimodal_fm_tpu.cli.common import init_runtime
+    init_runtime(args)   # --device cpu override + multi-host init
+
     key = set_seed(args.seed)
     print(f"Random seed: {args.seed}")
     print(f"Backend: {jax.default_backend()}")

@@ -94,9 +94,32 @@ class SamplerService:
         self.stats = {"dispatches": 0, "requests": 0, "coalesced_max": 1}
         self._linger = max(0.0, linger_ms) / 1000.0
         self._queue: "queue.Queue[_WorkItem]" = queue.Queue()
+        self._warm_done = set()
+        self._warm_lock = threading.Lock()
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
         self._dispatcher.start()
+
+    def _ensure_warm(self, method, strength):
+        """First-use compile of a (method, strength) program, run in the
+        REQUESTING thread before its item enters the coalescing queue.
+        Without this the single dispatcher thread would compile inline
+        (3-10 min through the remote compile helper) and head-of-line
+        block every pending request, including already-compiled ones."""
+        key = (method, float(strength))
+        if key in self._warm_done:
+            return
+        with self._warm_lock:   # one compile at a time; re-check inside
+            if key in self._warm_done:
+                return
+            s = self._sampler(method, strength)
+            noise = (jnp.zeros((self.batch_size,) + self.x_shape),
+                     jnp.zeros((self.batch_size,) + self.y_shape))
+            mc = (self._mc_set
+                  if method in ("mc_feng", "mc_feng+grad") else None)
+            out = s(jax.random.PRNGKey(0), self.batch_size, mc, noise)
+            np.asarray(out[0])   # real barrier (see __init__ note)
+            self._warm_done.add(key)
 
     def _sampler(self, method, strength):
         key = (method, float(strength))
@@ -114,18 +137,15 @@ class SamplerService:
 
     def warmup(self, methods=("none",)):
         for m in methods:
-            s = self._sampler(m, 0.5 if m != "none" else 0.0)
-            # warm the init_noise signature — the one _execute dispatches
-            noise = (jnp.zeros((self.batch_size,) + self.x_shape),
-                     jnp.zeros((self.batch_size,) + self.y_shape))
-            out = s(jax.random.PRNGKey(0), self.batch_size,
-                    self._mc_set if m == "mc_feng" else None, noise)
-            np.asarray(out[0])  # real barrier (see __init__ note)
+            self._ensure_warm(m, 0.5 if m != "none" else 0.0)
 
     def sample(self, n, method="none", strength=0.0, seed=0):
         """Enqueue the request for the coalescing dispatcher and block for
         the result. (Fulfills the FULL n — a request used to be silently
-        truncated to batch_size, round-1 review finding.)"""
+        truncated to batch_size, round-1 review finding.) A first-use
+        (method, strength) pays its compile here, in this thread, so the
+        dispatcher never head-of-line blocks on a compile."""
+        self._ensure_warm(method, strength)
         item = _WorkItem(int(n), method, float(strength), int(seed))
         self._queue.put(item)
         item.event.wait()
@@ -260,7 +280,8 @@ def make_handler(service: SamplerService):
                 strength = float(req.get("guidance_strength", 0.0))
                 seed = int(req.get("seed", 0))
                 fmt = req.get("format", "npz")
-                if method not in ("none", "mc_feng", "grad"):
+                if method not in ("none", "mc_feng", "grad",
+                                  "mc_feng+grad"):
                     self._send(400, {"error": f"unknown method {method}"})
                     return
                 x, y, dt = service.sample(num, method, strength, seed)
@@ -291,6 +312,9 @@ def main(argv=None):
     parser.add_argument("--mc_batch_size", type=int, default=256)
     add_common_flags(parser)
     args = parser.parse_args(argv)
+
+    from ratio_guided_multimodal_fm_tpu.cli.common import init_runtime
+    init_runtime(args)   # --device cpu override + multi-host init
 
     if args.experiment == "mnist_svhn":
         from ratio_guided_multimodal_fm_tpu.cli.sample_mnist_svhn import (

@@ -30,6 +30,9 @@ def main(argv=None):
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
+    from ratio_guided_multimodal_fm_tpu.cli.common import init_runtime
+    init_runtime(args)   # --device cpu override + multi-host init
+
     set_seed(args.seed)
     train_loader = get_classifier_dataloader(args.batch_size, train=True,
                                              root=args.data_root, seed=args.seed)

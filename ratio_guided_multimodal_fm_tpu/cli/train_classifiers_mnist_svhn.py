@@ -70,6 +70,9 @@ def main(argv=None):
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
+    from ratio_guided_multimodal_fm_tpu.cli.common import init_runtime
+    init_runtime(args)   # --device cpu override + multi-host init
+
     set_seed(args.seed)
     os.makedirs("checkpoints", exist_ok=True)
 

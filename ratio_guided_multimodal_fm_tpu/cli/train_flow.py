@@ -83,7 +83,12 @@ def main(argv=None):
     modality = args.modality
 
     def data_iter(epoch):
-        for batch in loader:
+        # Position-addressed epochs (loader.epoch(e), not the stateful
+        # __iter__): a preemption-resumed process reproduces epoch e's
+        # batch order exactly even though its loader is freshly built.
+        it = (loader.epoch(epoch) if hasattr(loader, "epoch")
+              else iter(loader))
+        for batch in it:
             yield jnp.asarray(batch[modality])
 
     best_path = get_checkpoint_path("flow", args.modality, transform_for_loader,
@@ -92,16 +97,20 @@ def main(argv=None):
     # Preemption auto-resume (SURVEY §5.3): a prior SIGTERM'd run left
     # {params, opt_state, epoch, step}; restore and skip to that position.
     start_epoch = start_step = 0
+    start_best, start_patience = float("inf"), 0
     if args.preempt_path and os.path.isdir(args.preempt_path):
         from ratio_guided_multimodal_fm_tpu.train.checkpoint import load_checkpoint
         restored = load_checkpoint(args.preempt_path, target={
             "params": state.params, "opt_state": state.opt_state,
-            "epoch": 0, "step": 0})
+            "epoch": 0, "step": 0, "best_loss": float("inf"),
+            "patience_counter": 0})
         state = state.replace(params=restored["params"],
                               opt_state=restored["opt_state"])
         start_epoch, start_step = int(restored["epoch"]), int(restored["step"])
+        start_best = float(restored.get("best_loss", float("inf")))
+        start_patience = int(restored.get("patience_counter", 0))
         print(f"Resuming preempted run: epoch {start_epoch}, "
-              f"step {start_step}")
+              f"step {start_step} (best {start_best:.4f})")
     metrics_logger = None
     if args.metrics_dir:
         from ratio_guided_multimodal_fm_tpu.core.observability import MetricsLogger
@@ -118,7 +127,8 @@ def main(argv=None):
             save_every=args.save_every, patience=args.patience,
             metrics_logger=metrics_logger,
             preempt_path=args.preempt_path,
-            start_epoch=start_epoch, start_step=start_step)
+            start_epoch=start_epoch, start_step=start_step,
+            start_best=start_best, start_patience_counter=start_patience)
 
     if history and history[-1].get("preempted"):
         print("\nPreempted — resumable checkpoint saved; rerun the same "

@@ -44,10 +44,18 @@ class _EpochLoader:
     def __len__(self):
         return self._n
 
+    def epoch(self, e: int):
+        """Iterator for epoch `e`, position-addressed: the batch order is a
+        pure function of (seed, e), independent of how many epochs this
+        process has already iterated. Preemption resume depends on this —
+        a restarted process must reproduce epoch e's exact order
+        (train/loop.py preemption contract; tests/test_preemption.py)."""
+        return self._make_iter(np.random.RandomState(self._seed + e))
+
     def __iter__(self):
-        rng = np.random.RandomState(self._seed + self._epoch)
+        it = self.epoch(self._epoch)
         self._epoch += 1
-        return self._make_iter(rng)
+        return it
 
 
 def get_flow_dataloader(transform_type: Optional[str] = None,

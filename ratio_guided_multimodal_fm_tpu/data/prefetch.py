@@ -38,25 +38,52 @@ def device_prefetch(it: Iterable, depth: int = 2,
     """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     err = []
+    stop = threading.Event()
 
     def produce():
         try:
             for item in it:
-                q.put(jax.device_put(item, device))
+                batch = jax.device_put(item, device)
+                # Bounded put that notices an abandoned consumer: without
+                # this, a consumer that stops iterating mid-epoch (early
+                # stop, preemption, bounded bench loop) leaves the producer
+                # blocked in q.put forever, pinning `depth` device batches.
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            try:
+                q.put_nowait(_SENTINEL)
+            except queue.Full:
+                pass
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # Runs on normal exhaustion AND on generator close (GeneratorExit
+        # when the consumer abandons the iterator): unblock + retire the
+        # producer and drop queued device buffers.
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 class PrefetchLoader:
@@ -69,6 +96,11 @@ class PrefetchLoader:
 
     def __len__(self):
         return len(self._loader)
+
+    def epoch(self, e: int):
+        """Position-addressed epoch iterator (delegates to the inner
+        loader's `epoch`; preemption-resume contract, train/loop.py)."""
+        return device_prefetch(self._loader.epoch(e), self._depth)
 
     def __iter__(self):
         return device_prefetch(iter(self._loader), self._depth)

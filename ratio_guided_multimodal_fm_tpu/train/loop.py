@@ -55,24 +55,32 @@ def train_flow_matching_epochs(
     preempt_path: Optional[str] = None,
     start_epoch: int = 0,
     start_step: int = 0,
+    start_best: float = float("inf"),
+    start_patience_counter: int = 0,
 ):
     """Generic FM training driver. Returns (state, best_loss, history).
 
     Preemption-safe (SURVEY §5.3): SIGTERM sets a flag (train/
     preemption.py); the driver finishes the in-flight step, saves
-    {params, opt_state, epoch, step} to `preempt_path` and returns with
-    history[-1]["preempted"]=True. Resume by restoring the state and
-    passing (start_epoch, start_step). Exactness: per-step train keys are
+    {params, opt_state, epoch, step, best_loss, patience_counter} to
+    `preempt_path` and returns with history[-1]["preempted"]=True. Resume
+    by restoring the state and passing (start_epoch, start_step,
+    start_best, start_patience_counter) — the early-stop bookkeeping must
+    survive the restart or a post-resume worse epoch would overwrite the
+    saved best model. Exactness: per-step train keys are
     fold_in(root, epoch, step) — position-addressed, not a sequential
-    stream — and the loaders reseed per epoch, so a mid-epoch restart
-    reproduces the uninterrupted run bit-for-bit
-    (tests/test_preemption.py).
+    stream — and epoch batch order is position-addressed too
+    (data_iter_fn(epoch) must derive order from the epoch argument, e.g.
+    _EpochLoader.epoch(e)), so a mid-epoch restart reproduces the
+    uninterrupted run bit-for-bit (tests/test_preemption.py).
     """
     from ratio_guided_multimodal_fm_tpu.train.preemption import (
         PreemptionGuard,
     )
 
     stopper = EarlyStopper(patience)
+    stopper.best = start_best
+    stopper.counter = start_patience_counter
     history = []
     root_key = rng.next()   # per-step keys derive from (epoch, step)
 
@@ -83,6 +91,8 @@ def train_flow_matching_epochs(
                 "opt_state": state.opt_state,
                 "epoch": epoch,
                 "step": step_i,
+                "best_loss": stopper.best,
+                "patience_counter": stopper.counter,
             })
             log_fn(f"  -> Preempted: resumable checkpoint at "
                    f"{preempt_path} (epoch {epoch}, step {step_i})")
@@ -108,6 +118,11 @@ def train_flow_matching_epochs(
                                     "preempted": True})
                     wait_for_saves()
                     return state, stopper.best, history
+            if not losses:
+                # Resumed exactly at the epoch boundary (preempted on its
+                # last step): nothing ran — don't feed NaN to the stopper
+                # or metrics, just move to the next epoch.
+                continue
             avg = float(np.mean([jax.device_get(l) for l in losses]))
             dt = time.time() - t0
             steps_per_sec = len(losses) / max(dt, 1e-9)

@@ -24,7 +24,8 @@ preflight() {
   echo "preflight FAILED"; exit 1
 }
 
-run_eval() {  # $1=nmc $2=chunks $3=outname
+run_eval() {
+  sleep 150   # lazy chip release after the previous stage (CLAUDE.md)  # $1=nmc $2=chunks $3=outname
   preflight
   (cd "$RUN" && stdbuf -oL python -m ratio_guided_multimodal_fm_tpu.cli.evaluate_mnist_svhn \
       --num_samples 512 --mc_batch_size "$1" --eval_chunks "$2" \

@@ -26,6 +26,7 @@ preflight() {
 
 run_eval() {  # $1=outname, rest = extra args
   local out=$1; shift
+  sleep 150   # lazy chip release after the previous stage (CLAUDE.md)
   preflight
   (cd "$RUN" && stdbuf -oL python -m ratio_guided_multimodal_fm_tpu.cli.evaluate_mnist_svhn \
       --num_samples 512 --mc_batch_size 256 --dtype bf16 --fid "$@")

@@ -29,21 +29,26 @@ preflight stage1 || exit 1
 cp parity_runs/saturated_r3/outputs/evaluation_results.json \
    docs/results_r3/saturated_default_eval.json && echo "stage 1 saved"
 
+sleep 150   # lazy chip release (CLAUDE.md)
 echo "=== stage 1b: best-point (10-epoch ratio) default-flag eval ==="
 preflight stage1b || exit 1
 (cd parity_runs/best10_r3 && stdbuf -oL python -m ratio_guided_multimodal_fm_tpu.cli.evaluate     --num_samples 512 --mc_batch_size 256 --num_steps 100 --dtype bf16     --guidance_methods none mc_feng --guidance_strengths 0 0.5 1.0)
 cp parity_runs/best10_r3/outputs/evaluation_results.json    docs/results_r3/best10_default_eval.json && echo "stage 1b saved"
 
+sleep 150
 echo "=== stage 2: frontier sweep ==="
 bash scripts/frontier_sweep.sh
 
+sleep 150
 echo "=== stage 3: grad sweep ==="
 bash scripts/grad_sweep.sh
 
+sleep 150
 echo "=== stage 4: prefetch bench ==="
 preflight stage4 || exit 1
 stdbuf -oL python scripts/prefetch_bench.py
 
+sleep 150
 echo "=== stage 5: bench headline ==="
 preflight stage5 || exit 1
 stdbuf -oL python bench.py

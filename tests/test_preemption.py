@@ -81,7 +81,8 @@ def test_preempt_saves_and_resume_matches_uninterrupted(tmp_path):
     state_r, _ = _fresh()
     restored = load_checkpoint(ck, target={
         "params": state_r.params, "opt_state": state_r.opt_state,
-        "epoch": 0, "step": 0})
+        "epoch": 0, "step": 0, "best_loss": float("inf"),
+        "patience_counter": 0})
     state_r = state_r.replace(params=restored["params"],
                               opt_state=restored["opt_state"])
     # per-step keys are position-addressed fold_ins, so a fresh RNG with
@@ -93,3 +94,59 @@ def test_preempt_saves_and_resume_matches_uninterrupted(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state_ref.params),
                     jax.tree_util.tree_leaves(state_r.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_epoch_loader_position_addressed():
+    """_EpochLoader.epoch(e) must reproduce epoch e's batch order in a
+    FRESH process (the real-CLI resume path; a stateful __iter__ counter
+    starting at 0 would replay epoch 0's permutation instead)."""
+    from ratio_guided_multimodal_fm_tpu.data.mnist_dataset import (
+        get_flow_dataloader,
+    )
+    from ratio_guided_multimodal_fm_tpu.data.prefetch import PrefetchLoader
+
+    mk = lambda: get_flow_dataloader(batch_size=64, train=True,  # noqa:E731
+                                     root="./data", seed=5)
+    a = mk()
+    # advance the stateful counter like a prior process that ran 2 epochs
+    for _ in range(2):
+        for _b in a:
+            break
+    b = mk()   # fresh process
+    xa = next(iter(a.epoch(2)))["x"]
+    xb = next(iter(b.epoch(2)))["x"]
+    np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+    # stateful __iter__ of the fresh loader (its epoch 0) must differ
+    x0 = next(iter(b))["x"]
+    assert not np.array_equal(np.asarray(xa), np.asarray(x0))
+    # PrefetchLoader delegates position-addressing
+    xp = next(iter(PrefetchLoader(mk()).epoch(2)))["x"]
+    np.testing.assert_array_equal(np.asarray(xp), np.asarray(xa))
+
+
+def test_resume_preserves_early_stop_state(tmp_path):
+    """The preempt checkpoint carries best_loss + patience_counter so a
+    resumed run can't overwrite the saved best model with a worse one."""
+    ck = str(tmp_path / "preempt2")
+    best = str(tmp_path / "best")
+    state, step = _fresh()
+
+    count = {"n": 0}
+
+    def counting_step(st, x1, key):
+        count["n"] += 1
+        if count["n"] == 2 * N_BATCHES + 1:     # epoch 2, step 1
+            request_preemption()
+        return step(st, x1, key)
+
+    _, _, hist = train_flow_matching_epochs(
+        state, counting_step, _data_iter_fn, 4, RNG(7),
+        best_path=best, preempt_path=ck, log_fn=lambda *_: None)
+    assert hist[-1]["preempted"]
+    saved = load_checkpoint(ck)
+    assert np.isfinite(float(saved["best_loss"]))   # 2 epochs completed
+    # the two completed epochs' best is carried into the checkpoint
+    completed = [h["loss"] for h in hist if "loss" in h]
+    assert float(saved["best_loss"]) == min(completed)
+    assert int(saved["patience_counter"]) == (
+        0 if completed[-1] == min(completed) else 1)
