@@ -23,7 +23,8 @@ import time
 import urllib.request
 
 PORT = 8811
-RUN_DIR = "parity_runs/jax"
+RUN_DIR = os.environ.get("SERVE_RUN_DIR", "parity_runs/jax")
+TRANSFORM = os.environ.get("SERVE_TRANSFORM", "rotate90")
 WORKERS = 8
 REQS_PER_WORKER = 4
 N_PER_REQ = 16
@@ -51,7 +52,7 @@ def main():
     env["PYTHONPATH"] = f"{repo}:{env.get('PYTHONPATH', '')}"
     srv = subprocess.Popen(
         [sys.executable, "-m", "ratio_guided_multimodal_fm_tpu.cli.serve",
-         "--experiment", "mnist_transform", "--transform_type", "rotate90",
+         "--experiment", "mnist_transform", "--transform_type", TRANSFORM,
          "--port", str(PORT), "--batch_size", "64", "--num_steps", "100",
          "--mc_batch_size", "256", "--dtype", "bf16"],
         cwd=os.path.join(repo, RUN_DIR), env=env,
@@ -108,6 +109,7 @@ def main():
                          "requests_per_worker": REQS_PER_WORKER,
                          "samples_per_request": N_PER_REQ,
                          "method": "mc_feng gamma=0.5, 100 steps, warm MC set",
+                         "experiment": f"mnist_transform/{TRANSFORM}",
                          "server_batch": 64, "linger_ms": 10},
             "wall_sec": round(wall, 3),
             "client_samples_per_sec": round(total / wall, 1),
