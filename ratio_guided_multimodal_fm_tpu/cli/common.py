@@ -7,6 +7,7 @@ default backend; JAX_PLATFORMS=cpu forces CPU).
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
@@ -79,8 +80,22 @@ def init_runtime(args):
 
 
 def wrap_loader(loader, args, depth: int = 2):
-    """Apply the background device-prefetch wrapper unless --no_prefetch."""
+    """Apply the background device-prefetch wrapper unless --no_prefetch.
+
+    Auto-disabled on the axon-tunneled single-chip backend
+    (JAX_PLATFORMS=axon): the producer thread's jax.device_put racing the
+    main thread's first train-step compile deadlocks the tunnel — the
+    client freezes permanently with every thread in futex_do_wait
+    (reproduced 4x on 2026-08-17; --no_prefetch fixed it immediately).
+    Real (non-tunneled) TPU runtimes multiplex concurrent dispatch fine.
+    Force-enable there with RGMF_PREFETCH=1.
+    """
     if getattr(args, "no_prefetch", False):
+        return loader
+    if ("axon" in os.environ.get("JAX_PLATFORMS", "")
+            and os.environ.get("RGMF_PREFETCH") != "1"):
+        print("prefetch: disabled on the axon tunnel backend "
+              "(thread-concurrency deadlock; RGMF_PREFETCH=1 overrides)")
         return loader
     from ratio_guided_multimodal_fm_tpu.data.prefetch import PrefetchLoader
 

@@ -131,8 +131,13 @@ def main(argv=None):
             start_best=start_best, start_patience_counter=start_patience)
 
     if history and history[-1].get("preempted"):
-        print("\nPreempted — resumable checkpoint saved; rerun the same "
-              "command to continue.")
+        if args.preempt_path:
+            print("\nPreempted — resumable checkpoint saved; rerun the same "
+                  "command to continue.")
+        else:
+            print("\nPreempted — stopped cleanly after the in-flight step. "
+                  "No resumable checkpoint (run with --preempt_path to "
+                  "enable step-granular resume).")
         return
     if args.preempt_path and os.path.isdir(args.preempt_path):
         shutil.rmtree(args.preempt_path)   # completed: clear resume state

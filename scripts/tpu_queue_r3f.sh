@@ -39,7 +39,7 @@ preflight() {
 echo "=== prep: FM_x ==="
 preflight "fm_x" || exit 1
 bash "$STAGE" fm_x "$RUN" python -m ratio_guided_multimodal_fm_tpu.cli.train_flow \
-    --modality x --epochs 12 --dtype bf16 --data_root /root/repo/data \
+    --modality x --epochs 12 --dtype bf16 --no_prefetch --data_root /root/repo/data \
   || { echo "FM_x FAILED"; exit 1; }
 
 sleep 150
@@ -54,14 +54,14 @@ for T in rotate270 flip_h flip_v invert; do
   echo "=== transform $T: FM_y ==="
   preflight "fm_$T" || exit 1
   bash "$STAGE" "fm_$T" "$RUN" python -m ratio_guided_multimodal_fm_tpu.cli.train_flow \
-      --modality y --transform_type "$T" --epochs 12 --dtype bf16 --data_root /root/repo/data \
+      --modality y --transform_type "$T" --epochs 12 --dtype bf16 --no_prefetch --data_root /root/repo/data \
     || { echo "FM_y $T FAILED"; exit 1; }
 
   sleep 150
   echo "=== transform $T: ratio ==="
   preflight "ratio_$T" || exit 1
   bash "$STAGE" "ratio_$T" "$RUN" python -m ratio_guided_multimodal_fm_tpu.cli.train_ratio \
-      --loss_type disc --transform_type "$T" --epochs 8 --dtype bf16 --data_root /root/repo/data \
+      --loss_type disc --transform_type "$T" --epochs 8 --dtype bf16 --no_prefetch --data_root /root/repo/data \
     || { echo "ratio $T FAILED"; exit 1; }
 
   sleep 150

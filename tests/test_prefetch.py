@@ -44,3 +44,31 @@ def test_prefetch_len_passthrough(tmp_path):
     loader = get_classifier_dataloader(batch_size=32, train=False,
                                        root=str(tmp_path / "d"))
     assert len(PrefetchLoader(loader)) == len(loader)
+
+
+def test_wrap_loader_axon_gate(monkeypatch):
+    """On the axon tunnel backend the producer thread's device_put racing
+    the main thread's compile deadlocks the client (2026-08-17, 4/4
+    repro) — wrap_loader must auto-disable prefetch there unless
+    RGMF_PREFETCH=1 forces it back on."""
+    import types
+
+    from ratio_guided_multimodal_fm_tpu.cli.common import wrap_loader
+
+    loader = [1, 2, 3]
+    args = types.SimpleNamespace()
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.delenv("RGMF_PREFETCH", raising=False)
+    assert wrap_loader(loader, args) is loader
+
+    monkeypatch.setenv("RGMF_PREFETCH", "1")
+    assert isinstance(wrap_loader(loader, args), PrefetchLoader)
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.delenv("RGMF_PREFETCH", raising=False)
+    assert isinstance(wrap_loader(loader, args), PrefetchLoader)
+
+    # the explicit flag still wins everywhere
+    assert wrap_loader(loader,
+                       types.SimpleNamespace(no_prefetch=True)) is loader
