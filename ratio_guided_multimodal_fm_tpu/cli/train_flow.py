@@ -96,19 +96,10 @@ def main(argv=None):
 
     # Preemption auto-resume (SURVEY §5.3): a prior SIGTERM'd run left
     # {params, opt_state, epoch, step}; restore and skip to that position.
-    start_epoch = start_step = 0
-    start_best, start_patience = float("inf"), 0
-    if args.preempt_path and os.path.isdir(args.preempt_path):
-        from ratio_guided_multimodal_fm_tpu.train.checkpoint import load_checkpoint
-        restored = load_checkpoint(args.preempt_path, target={
-            "params": state.params, "opt_state": state.opt_state,
-            "epoch": 0, "step": 0, "best_loss": float("inf"),
-            "patience_counter": 0})
-        state = state.replace(params=restored["params"],
-                              opt_state=restored["opt_state"])
-        start_epoch, start_step = int(restored["epoch"]), int(restored["step"])
-        start_best = float(restored.get("best_loss", float("inf")))
-        start_patience = int(restored.get("patience_counter", 0))
+    from ratio_guided_multimodal_fm_tpu.train.loop import restore_preempt
+    (state, start_epoch, start_step,
+     start_best, start_patience) = restore_preempt(args.preempt_path, state)
+    if start_epoch or start_step:
         print(f"Resuming preempted run: epoch {start_epoch}, "
               f"step {start_step} (best {start_best:.4f})")
     metrics_logger = None

@@ -6,6 +6,8 @@ checkpoints flow_mnist32_{best|epochN} in full-dict format for resume.
 from __future__ import annotations
 
 import argparse
+import os
+import shutil
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +25,10 @@ from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
     load_checkpoint,
     save_train_checkpoint,
 )
-from ratio_guided_multimodal_fm_tpu.train.loop import EarlyStopper
+from ratio_guided_multimodal_fm_tpu.train.loop import (
+    restore_preempt,
+    train_epochs,
+)
 from ratio_guided_multimodal_fm_tpu.train.steps import (
     create_fm_state,
     make_fm_train_step,
@@ -31,7 +36,8 @@ from ratio_guided_multimodal_fm_tpu.train.steps import (
 
 
 def run_flow_training(model, sample_shape, loader, args, ckpt_prefix: str):
-    """Shared driver for the mnist32/svhn flow scripts (--resume support)."""
+    """Shared driver for the mnist32/svhn flow scripts (--resume support,
+    step-granular --preempt_path preemption — SURVEY §5.3)."""
     state = create_fm_state(model, jax.random.PRNGKey(args.seed),
                             sample_shape, lr=args.lr)
     print(f"Model parameters: {count_params(state.params):,}")
@@ -58,33 +64,57 @@ def run_flow_training(model, sample_shape, loader, args, ckpt_prefix: str):
             state = state.replace(params=load_params(args.resume, state.params))
         print(f"  Resumed at epoch {start_epoch}, best_loss={best_loss:.4f}")
 
+    # Step-granular preemption resume takes precedence over the
+    # epoch-granular --resume when its checkpoint exists.
+    start_step, start_patience = 0, 0
+    preempt_path = getattr(args, "preempt_path", None)
+    if preempt_path and os.path.isdir(preempt_path):
+        (state, start_epoch, start_step,
+         best_loss, start_patience) = restore_preempt(preempt_path, state)
+        print(f"Resuming preempted run: epoch {start_epoch}, "
+              f"step {start_step} (best {best_loss:.4f})")
+
     step = make_fm_train_step(model)
     rng = RNG(args.seed + 1)
-    stopper = EarlyStopper(args.patience)
-    stopper.best = best_loss
 
-    for epoch in range(start_epoch, args.epochs):
-        losses = []
-        for batch in loader:
-            state, loss = step(state, jnp.asarray(batch["x"]), rng.next())
-            losses.append(loss)
-        avg = float(np.mean(jax.device_get(losses)))
-        print(f"Epoch {epoch+1}/{args.epochs} - Loss: {avg:.4f}")
+    def data_iter(epoch):
+        it = (loader.epoch(epoch) if hasattr(loader, "epoch")
+              else iter(loader))
+        for batch in it:
+            yield jnp.asarray(batch["x"])
 
-        if stopper.update(avg):
-            path = f"checkpoints/{ckpt_prefix}_best"
-            save_train_checkpoint(path, state, epoch + 1, stopper.best)
-            print(f"  -> Saved best model: {path}")
-        if (epoch + 1) % args.save_every == 0:
-            path = f"checkpoints/{ckpt_prefix}_epoch{epoch+1}"
-            save_train_checkpoint(path, state, epoch + 1, stopper.best)
-            print(f"  -> Saved checkpoint: {path}")
-        if stopper.should_stop:
-            print(f"\nEarly stopping after {epoch+1} epochs "
-                  f"(patience={args.patience})")
-            break
+    def save_best(s, epoch, best):
+        path = f"checkpoints/{ckpt_prefix}_best"
+        save_train_checkpoint(path, s, epoch, best)
+        print(f"  -> Saved best model: {path}")
+
+    def save_periodic(s, epoch, best):
+        path = f"checkpoints/{ckpt_prefix}_epoch{epoch}"
+        save_train_checkpoint(path, s, epoch, best)
+        print(f"  -> Saved checkpoint: {path}")
+
+    _, best, history = train_epochs(
+        state, lambda s, x, k: step(s, x, k), data_iter, args.epochs, rng,
+        loss_key=None,
+        save_best_fn=save_best, save_periodic_fn=save_periodic,
+        save_every=args.save_every, patience=args.patience,
+        preempt_path=preempt_path,
+        start_epoch=start_epoch, start_step=start_step,
+        start_best=best_loss, start_patience_counter=start_patience)
+
+    if history and history[-1].get("preempted"):
+        if preempt_path:
+            print("\nPreempted — resumable checkpoint saved; rerun the same "
+                  "command to continue.")
+        else:
+            print("\nPreempted — stopped cleanly after the in-flight step. "
+                  "No resumable checkpoint (run with --preempt_path to "
+                  "enable step-granular resume).")
+        return
+    if preempt_path and os.path.isdir(preempt_path):
+        shutil.rmtree(preempt_path)   # completed: clear resume state
     print("\nTraining complete!")
-    print(f"Best loss: {stopper.best:.4f}")
+    print(f"Best loss: {best:.4f}")
 
 
 def main(argv=None):
@@ -96,6 +126,10 @@ def main(argv=None):
     parser.add_argument("--patience", type=int, default=10)
     parser.add_argument("--resume", type=str, default=None,
                         help="Path to checkpoint to resume from")
+    parser.add_argument("--preempt_path", type=str, default=None,
+                        help="Preemption-safe training: on SIGTERM, save a "
+                             "step-granular resumable checkpoint here and "
+                             "exit; if it exists at startup, resume from it")
     add_common_flags(parser)
     args = parser.parse_args(argv)
 

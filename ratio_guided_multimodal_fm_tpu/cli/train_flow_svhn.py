@@ -30,6 +30,10 @@ def main(argv=None):
     parser.add_argument("--resume", type=str, default=None,
                         help="Path to checkpoint to resume from "
                              "(e.g., checkpoints/flow_svhn_best)")
+    parser.add_argument("--preempt_path", type=str, default=None,
+                        help="Preemption-safe training: on SIGTERM, save a "
+                             "step-granular resumable checkpoint here and "
+                             "exit; if it exists at startup, resume from it")
     add_common_flags(parser)
     args = parser.parse_args(argv)
 

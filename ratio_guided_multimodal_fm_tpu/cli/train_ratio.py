@@ -7,9 +7,10 @@ reference (train_ratio.py:87).
 from __future__ import annotations
 
 import argparse
+import os
+import shutil
 
 import jax
-import numpy as np
 
 from ratio_guided_multimodal_fm_tpu.cli.common import (
     init_runtime,
@@ -24,7 +25,10 @@ from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
     save_checkpoint,
     wait_for_saves,
 )
-from ratio_guided_multimodal_fm_tpu.train.loop import EarlyStopper
+from ratio_guided_multimodal_fm_tpu.train.loop import (
+    restore_preempt,
+    train_epochs,
+)
 from ratio_guided_multimodal_fm_tpu.train.steps import (
     create_ratio_state,
     make_ratio_train_step,
@@ -43,6 +47,10 @@ def main(argv=None):
     parser.add_argument("--real_fake_ratio", type=float, default=0.5)
     parser.add_argument("--rulsif_alpha", type=float, default=0.2)
     parser.add_argument("--lambda_penalty", type=float, default=0.1)
+    parser.add_argument("--preempt_path", type=str, default=None,
+                        help="Preemption-safe training: on SIGTERM, save a "
+                             "step-granular resumable checkpoint here and "
+                             "exit; if it exists at startup, resume from it")
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
@@ -67,35 +75,55 @@ def main(argv=None):
                                  alpha=args.rulsif_alpha,
                                  lambda_penalty=args.lambda_penalty)
     rng = RNG(args.seed + 1)
-    stopper = EarlyStopper(patience=5)
 
-    for epoch in range(args.epochs):
-        ms = []
-        for batch in loader:
-            b = batch_to_jnp(batch)
-            state, metrics = step(state, b["x"], b["y"], b["is_real"], rng.next())
-            ms.append(metrics)
-        avg = {k: float(np.mean([jax.device_get(m[k]) for m in ms]))
-               for k in ms[0]}
-        print(f"Epoch {epoch+1}/{args.epochs} - " +
-              " - ".join(f"{k}: {v:.4f}" for k, v in avg.items()))
+    (state, start_epoch, start_step,
+     start_best, start_patience) = restore_preempt(args.preempt_path, state)
+    if start_epoch or start_step:
+        print(f"Resuming preempted run: epoch {start_epoch}, "
+              f"step {start_step} (best {start_best:.4f})")
 
-        if stopper.update(avg["loss"]):
-            path = get_checkpoint_path("ratio", args.loss_type,
-                                       args.transform_type, "best")
-            save_checkpoint(path, state.params, async_save=True)
-            print(f"  -> Saved best model: {path}")
-        if (epoch + 1) % 10 == 0:
-            save_checkpoint(get_checkpoint_path(
-                "ratio", args.loss_type, args.transform_type,
-                f"epoch{epoch+1}"), state.params, async_save=True)
-        if stopper.should_stop:
-            print(f"\nEarly stopping after {epoch+1} epochs (patience=5)")
-            break
+    def data_iter(epoch):
+        it = (loader.epoch(epoch) if hasattr(loader, "epoch")
+              else iter(loader))
+        for batch in it:
+            yield batch_to_jnp(batch)
 
+    def save_best(s, epoch, best):
+        path = get_checkpoint_path("ratio", args.loss_type,
+                                   args.transform_type, "best")
+        save_checkpoint(path, s.params, async_save=True)
+        print(f"  -> Saved best model: {path}")
+
+    def save_periodic(s, epoch, best):
+        save_checkpoint(get_checkpoint_path(
+            "ratio", args.loss_type, args.transform_type,
+            f"epoch{epoch}"), s.params, async_save=True)
+
+    _, best, history = train_epochs(
+        state,
+        lambda s, b, k: step(s, b["x"], b["y"], b["is_real"], k),
+        data_iter, args.epochs, rng,
+        loss_key="loss",
+        save_best_fn=save_best, save_periodic_fn=save_periodic,
+        save_every=10, patience=5,
+        preempt_path=args.preempt_path,
+        start_epoch=start_epoch, start_step=start_step,
+        start_best=start_best, start_patience_counter=start_patience)
+
+    if history and history[-1].get("preempted"):
+        if args.preempt_path:
+            print("\nPreempted — resumable checkpoint saved; rerun the same "
+                  "command to continue.")
+        else:
+            print("\nPreempted — stopped cleanly after the in-flight step. "
+                  "No resumable checkpoint (run with --preempt_path to "
+                  "enable step-granular resume).")
+        return
+    if args.preempt_path and os.path.isdir(args.preempt_path):
+        shutil.rmtree(args.preempt_path)   # completed: clear resume state
     wait_for_saves()
     print("\nTraining complete!")
-    print(f"Best loss: {stopper.best:.4f}")
+    print(f"Best loss: {best:.4f}")
 
 
 if __name__ == "__main__":

@@ -13,5 +13,7 @@ from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
 )
 from ratio_guided_multimodal_fm_tpu.train.loop import (
     EarlyStopper,
+    restore_preempt,
+    train_epochs,
     train_flow_matching_epochs,
 )

@@ -2,9 +2,14 @@
 
 Patience semantics mirror ref train_flow.py:84-117 (best-loss tracking,
 save_every periodic saves, stop after `patience` non-improving epochs).
+
+`train_epochs` is the generic preemption-safe driver (scalar-loss FM steps
+and metrics-dict ratio/classifier steps alike); `train_flow_matching_epochs`
+is the FM-specialized wrapper the flow CLIs and tests use.
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Iterable, Optional
 
@@ -13,6 +18,7 @@ import numpy as np
 
 from ratio_guided_multimodal_fm_tpu.core.prng import RNG
 from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
+    load_checkpoint,
     save_checkpoint,
     wait_for_saves,
 )
@@ -40,14 +46,43 @@ class EarlyStopper:
         return self.counter >= self.patience
 
 
-def train_flow_matching_epochs(
+def restore_preempt(preempt_path: Optional[str], state):
+    """Restore a preemption checkpoint (if one exists at `preempt_path`)
+    into `state`.
+
+    Returns (state, start_epoch, start_step, start_best,
+    start_patience_counter) — the identity tuple when there is nothing to
+    restore. Handles states with and without a batch_stats collection
+    (BatchNorm ratio nets).
+    """
+    if not (preempt_path and os.path.isdir(preempt_path)):
+        return state, 0, 0, float("inf"), 0
+    target = {"params": state.params, "opt_state": state.opt_state,
+              "epoch": 0, "step": 0, "best_loss": float("inf"),
+              "patience_counter": 0}
+    has_bs = getattr(state, "batch_stats", None) is not None
+    if has_bs:
+        target["batch_stats"] = state.batch_stats
+    restored = load_checkpoint(preempt_path, target=target)
+    repl = {"params": restored["params"], "opt_state": restored["opt_state"]}
+    if has_bs:
+        repl["batch_stats"] = restored["batch_stats"]
+    state = state.replace(**repl)
+    return (state, int(restored["epoch"]), int(restored["step"]),
+            float(restored["best_loss"]), int(restored["patience_counter"]))
+
+
+def train_epochs(
     state,
-    train_step: Callable,
-    data_iter_fn: Callable[[int], Iterable],  # epoch -> iterable of x1 batches
+    train_step: Callable,              # (state, batch, key) -> (state, out)
+    data_iter_fn: Callable[[int], Iterable],  # epoch -> iterable of batches
     epochs: int,
     rng: RNG,
-    best_path: Optional[str] = None,
-    periodic_path_fn: Optional[Callable[[int], str]] = None,
+    loss_key: Optional[str] = None,    # None: out is a scalar loss;
+                                       # else: out is a metrics dict and
+                                       # out[loss_key] drives early stopping
+    save_best_fn: Optional[Callable] = None,      # (state, epoch, best)
+    save_periodic_fn: Optional[Callable] = None,  # (state, epoch, best)
     save_every: int = 10,
     patience: int = 10,
     log_fn: Callable[[str], None] = print,
@@ -58,14 +93,15 @@ def train_flow_matching_epochs(
     start_best: float = float("inf"),
     start_patience_counter: int = 0,
 ):
-    """Generic FM training driver. Returns (state, best_loss, history).
+    """Generic training driver. Returns (state, best_loss, history).
 
     Preemption-safe (SURVEY §5.3): SIGTERM sets a flag (train/
     preemption.py); the driver finishes the in-flight step, saves
-    {params, opt_state, epoch, step, best_loss, patience_counter} to
-    `preempt_path` and returns with history[-1]["preempted"]=True. Resume
-    by restoring the state and passing (start_epoch, start_step,
-    start_best, start_patience_counter) — the early-stop bookkeeping must
+    {params, opt_state, batch_stats?, epoch, step, best_loss,
+    patience_counter} to `preempt_path` and returns with
+    history[-1]["preempted"]=True. Resume by restoring the state and
+    passing (start_epoch, start_step, start_best, start_patience_counter)
+    — `restore_preempt` does both — the early-stop bookkeeping must
     survive the restart or a post-resume worse epoch would overwrite the
     saved best model. Exactness: per-step train keys are
     fold_in(root, epoch, step) — position-addressed, not a sequential
@@ -86,14 +122,17 @@ def train_flow_matching_epochs(
 
     def _save_preempt(epoch, step_i):
         if preempt_path:
-            save_checkpoint(preempt_path, {
+            tree = {
                 "params": state.params,
                 "opt_state": state.opt_state,
                 "epoch": epoch,
                 "step": step_i,
                 "best_loss": stopper.best,
                 "patience_counter": stopper.counter,
-            })
+            }
+            if getattr(state, "batch_stats", None) is not None:
+                tree["batch_stats"] = state.batch_stats
+            save_checkpoint(preempt_path, tree)
             log_fn(f"  -> Preempted: resumable checkpoint at "
                    f"{preempt_path} (epoch {epoch}, step {step_i})")
 
@@ -101,15 +140,15 @@ def train_flow_matching_epochs(
     with guard_ctx as guard:
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
-            losses = []
+            outs = []
             skip = start_step if epoch == start_epoch else 0
             epoch_key = jax.random.fold_in(root_key, epoch)
-            for step_i, x1 in enumerate(data_iter_fn(epoch)):
+            for step_i, batch in enumerate(data_iter_fn(epoch)):
                 if step_i < skip:
                     continue
-                state, loss = train_step(
-                    state, x1, jax.random.fold_in(epoch_key, step_i))
-                losses.append(loss)
+                state, out = train_step(
+                    state, batch, jax.random.fold_in(epoch_key, step_i))
+                outs.append(out)
                 if guard.preempted:
                     wait_for_saves()
                     _save_preempt(epoch, step_i + 1)
@@ -118,35 +157,81 @@ def train_flow_matching_epochs(
                                     "preempted": True})
                     wait_for_saves()
                     return state, stopper.best, history
-            if not losses:
+            if not outs:
                 # Resumed exactly at the epoch boundary (preempted on its
                 # last step): nothing ran — don't feed NaN to the stopper
                 # or metrics, just move to the next epoch.
                 continue
-            avg = float(np.mean([jax.device_get(l) for l in losses]))
             dt = time.time() - t0
-            steps_per_sec = len(losses) / max(dt, 1e-9)
-            history.append({"epoch": epoch + 1, "loss": avg,
+            steps_per_sec = len(outs) / max(dt, 1e-9)
+            if loss_key is None:
+                avg_loss = float(np.mean([jax.device_get(o) for o in outs]))
+                avg = {"loss": avg_loss}
+                log_fn(f"Epoch {epoch+1}/{epochs} - Loss: {avg_loss:.4f} "
+                       f"({steps_per_sec:.1f} steps/s)")
+            else:
+                avg = {k: float(np.mean([jax.device_get(o[k]) for o in outs]))
+                       for k in outs[0]}
+                avg_loss = avg[loss_key]
+                log_fn(f"Epoch {epoch+1}/{epochs} - " +
+                       " - ".join(f"{k}: {v:.4f}" for k, v in avg.items()))
+            history.append({"epoch": epoch + 1, **avg,
                             "steps_per_sec": steps_per_sec})
             if metrics_logger is not None:
-                metrics_logger.log(epoch + 1, {"loss": avg,
+                metrics_logger.log(epoch + 1, {**avg,
                                                "steps_per_sec": steps_per_sec})
-            log_fn(f"Epoch {epoch+1}/{epochs} - Loss: {avg:.4f} "
-                   f"({steps_per_sec:.1f} steps/s)")
 
             # Saves overlap the next epoch's compute (Orbax background
             # thread); wait_for_saves() below barriers before returning, and
             # load_checkpoint barriers too, so no half-written tree is read.
-            if stopper.update(avg):
-                if best_path:
-                    save_checkpoint(best_path, state.params, async_save=True)
-                    log_fn(f"  -> Saved best model: {best_path}")
-            if periodic_path_fn and (epoch + 1) % save_every == 0:
-                save_checkpoint(periodic_path_fn(epoch + 1), state.params,
-                                async_save=True)
+            if stopper.update(avg_loss) and save_best_fn:
+                save_best_fn(state, epoch + 1, stopper.best)
+            if save_periodic_fn and (epoch + 1) % save_every == 0:
+                save_periodic_fn(state, epoch + 1, stopper.best)
             if stopper.should_stop:
                 log_fn(f"\nEarly stopping after {epoch+1} epochs "
                        f"(patience={patience})")
                 break
     wait_for_saves()
     return state, stopper.best, history
+
+
+def train_flow_matching_epochs(
+    state,
+    train_step: Callable,
+    data_iter_fn: Callable[[int], Iterable],  # epoch -> iterable of x1 batches
+    epochs: int,
+    rng: RNG,
+    best_path: Optional[str] = None,
+    periodic_path_fn: Optional[Callable[[int], str]] = None,
+    save_every: int = 10,
+    patience: int = 10,
+    log_fn: Callable[[str], None] = print,
+    metrics_logger=None,
+    preempt_path: Optional[str] = None,
+    start_epoch: int = 0,
+    start_step: int = 0,
+    start_best: float = float("inf"),
+    start_patience_counter: int = 0,
+):
+    """FM-specialized wrapper over `train_epochs` (scalar-loss steps,
+    params-only best/periodic checkpoints). Returns (state, best, history).
+    """
+    def save_best(s, epoch, best):
+        if best_path:
+            save_checkpoint(best_path, s.params, async_save=True)
+            log_fn(f"  -> Saved best model: {best_path}")
+
+    def save_periodic(s, epoch, best):
+        if periodic_path_fn:
+            save_checkpoint(periodic_path_fn(epoch), s.params,
+                            async_save=True)
+
+    return train_epochs(
+        state, train_step, data_iter_fn, epochs, rng,
+        loss_key=None,
+        save_best_fn=save_best, save_periodic_fn=save_periodic,
+        save_every=save_every, patience=patience, log_fn=log_fn,
+        metrics_logger=metrics_logger, preempt_path=preempt_path,
+        start_epoch=start_epoch, start_step=start_step,
+        start_best=start_best, start_patience_counter=start_patience_counter)

@@ -124,6 +124,77 @@ def test_epoch_loader_position_addressed():
     np.testing.assert_array_equal(np.asarray(xp), np.asarray(xa))
 
 
+def test_generic_driver_ratio_preempt_resume(tmp_path):
+    """train_epochs (the generic driver behind the ratio CLIs) preempts
+    and resumes bit-exactly, including the BatchNorm batch_stats
+    collection in the resumable checkpoint (restore_preempt round-trip)."""
+    from ratio_guided_multimodal_fm_tpu.models import RatioEstimatorMNISTSVHN
+    from ratio_guided_multimodal_fm_tpu.train.loop import (
+        restore_preempt,
+        train_epochs,
+    )
+    from ratio_guided_multimodal_fm_tpu.train.steps import (
+        create_ratio_state,
+        make_ratio_train_step,
+    )
+
+    ck = str(tmp_path / "preempt_ratio")
+
+    def fresh():
+        model = RatioEstimatorMNISTSVHN(feature_dim=16, hidden_dim=32)
+        state = create_ratio_state(model, jax.random.PRNGKey(0),
+                                   (32, 32, 1), (32, 32, 3),
+                                   has_batch_stats=True)
+        raw = make_ratio_train_step(model, "disc", has_batch_stats=True,
+                                    donate=False)
+        return state, lambda s, b, k: raw(s, b["x"], b["y"], b["is_real"], k)
+
+    def data_iter(epoch):
+        rng = np.random.RandomState(200 + epoch)
+        for _ in range(N_BATCHES):
+            yield {
+                "x": jnp.asarray(rng.randn(8, 32, 32, 1).astype(np.float32)),
+                "y": jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32)),
+                "is_real": jnp.asarray(
+                    (rng.rand(8) < 0.5).astype(np.float32)),
+            }
+
+    state_ref, _, hist_ref = train_epochs(
+        fresh()[0], fresh()[1], data_iter, 3, RNG(9),
+        loss_key="loss", log_fn=lambda *_: None)
+    assert "acc_real" in hist_ref[0]          # metrics flow into history
+
+    state, step = fresh()
+    count = {"n": 0}
+
+    def counting_step(st, b, key):
+        count["n"] += 1
+        if count["n"] == N_BATCHES + 2:        # epoch 1, step 2
+            request_preemption()
+        return step(st, b, key)
+
+    _, _, hist = train_epochs(
+        state, counting_step, data_iter, 3, RNG(9),
+        loss_key="loss", preempt_path=ck, log_fn=lambda *_: None)
+    assert hist[-1]["preempted"] and hist[-1]["preempted_at_step"] == 2
+    saved = load_checkpoint(ck)
+    assert "batch_stats" in saved              # BN state is in the ckpt
+
+    state_r, _ = fresh()
+    (state_r, se, ss, sb, sp) = restore_preempt(ck, state_r)
+    assert (se, ss) == (1, 2)
+    state_r, _, _ = train_epochs(
+        state_r, step, data_iter, 3, RNG(9),
+        loss_key="loss", start_epoch=se, start_step=ss, start_best=sb,
+        start_patience_counter=sp, log_fn=lambda *_: None)
+
+    for tree_a, tree_b in ((state_ref.params, state_r.params),
+                           (state_ref.batch_stats, state_r.batch_stats)):
+        for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                        jax.tree_util.tree_leaves(tree_b)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_resume_preserves_early_stop_state(tmp_path):
     """The preempt checkpoint carries best_loss + patience_counter so a
     resumed run can't overwrite the saved best model with a worse one."""
