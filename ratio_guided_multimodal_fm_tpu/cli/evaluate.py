@@ -34,8 +34,9 @@ from ratio_guided_multimodal_fm_tpu.eval.coherence import evaluate_coherence
 from ratio_guided_multimodal_fm_tpu.eval.fid import compute_fid
 from ratio_guided_multimodal_fm_tpu.models import MNISTClassifier, RatioEstimatorMNIST
 from ratio_guided_multimodal_fm_tpu.sample import (
+    GuidedSamplerConfig,
     generate_mc_set,
-    sample_bimodal_guided,
+    make_guided_sampler,
 )
 from ratio_guided_multimodal_fm_tpu.train.checkpoint import get_checkpoint_path
 
@@ -128,6 +129,13 @@ def main(argv=None):
 
     results = []
     mc_cache = {}
+    # Stable velocity closures: created ONCE so the jit caches keyed on
+    # them (euler_sample's static velocity_fn, the per-config sampler)
+    # hit across chunks and configs instead of re-tracing the fused
+    # 100-step scan per chunk — on this backend a re-trace routes through
+    # the slow remote compile helper.
+    fm_x = velocity_fn(model, params_x)
+    fm_y = velocity_fn(model, params_y)
     for method in args.guidance_methods:
         for strength in args.guidance_strengths:
             if method == "none" and strength > 0:
@@ -158,27 +166,29 @@ def main(argv=None):
             if method in ("mc_feng", "mc_feng+grad"):
                 def make_mc(k, _lr=log_ratio):
                     return generate_mc_set(
-                        velocity_fn(model, params_x),
-                        velocity_fn(model, params_y), _lr, k,
+                        fm_x, fm_y, _lr, k,
                         args.mc_batch_size, (28, 28, 1), (28, 28, 1),
                         args.num_steps, log_ratio_clip=args.ratio_clip,
                         fm_pair_fn=fm_pair)
 
-            def sample_chunk(ck, n_i, mc_ci, _lr=log_ratio,
-                             _m=method, _g=strength):
-                return sample_bimodal_guided(
-                    velocity_fn(model, params_x),
-                    velocity_fn(model, params_y),
-                    log_ratio_fn=_lr, guidance_method=_m,
-                    guidance_strength=_g, num_samples=n_i,
-                    num_steps=args.num_steps,
-                    mc_batch_size=args.mc_batch_size,
-                    x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=ck,
-                    mc_set=mc_ci, ess_floor=args.ess_floor,
-                    grad_strength=args.grad_strength,
-                    grad_scale=args.grad_scale, grad_t_max=args.grad_t_max,
-                    fm_pair_fn=fm_pair,
-                    return_diagnostics=True)
+            # ONE jitted sampler per (method, strength), reused by every
+            # chunk (identical shapes at the default equal-split) — not a
+            # fresh trace per chunk.
+            cfg = GuidedSamplerConfig(
+                guidance_method=method, guidance_strength=strength,
+                num_steps=args.num_steps,
+                mc_batch_size=args.mc_batch_size,
+                x_shape=(28, 28, 1), y_shape=(28, 28, 1),
+                ess_floor=args.ess_floor,
+                grad_strength=args.grad_strength,
+                grad_scale=args.grad_scale, grad_t_max=args.grad_t_max)
+            sampler = jax.jit(
+                make_guided_sampler(fm_x, fm_y, cfg, log_ratio,
+                                    fm_pair_fn=fm_pair),
+                static_argnums=(1,))
+
+            def sample_chunk(ck, n_i, mc_ci, _s=sampler):
+                return _s(ck, n_i, mc_ci)
 
             print(f"  Sampling {args.num_samples} pairs...")
             samples_x, samples_y, merged_diags, chunk_info = sample_in_chunks(

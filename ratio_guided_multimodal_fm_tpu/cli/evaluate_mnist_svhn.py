@@ -34,8 +34,9 @@ from ratio_guided_multimodal_fm_tpu.eval.coherence import evaluate_coherence_dua
 from ratio_guided_multimodal_fm_tpu.eval.fid import compute_fid
 from ratio_guided_multimodal_fm_tpu.models import MNISTClassifier32, SVHNClassifier
 from ratio_guided_multimodal_fm_tpu.sample import (
+    GuidedSamplerConfig,
     generate_mc_set,
-    sample_bimodal_guided,
+    make_guided_sampler,
 )
 from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
     checkpoint_exists,
@@ -126,6 +127,11 @@ def main(argv=None):
 
     results = []
     mc_cache = {}
+    # Stable velocity closures (created once): jit caches keyed on them —
+    # euler_sample's static velocity_fn, the per-config sampler — hit
+    # across chunks instead of re-tracing the fused scan per chunk.
+    v_m = velocity_fn(fm_m, params_m)
+    v_s = velocity_fn(fm_s, params_s)
     for method in args.guidance_methods:
         for strength in args.guidance_strengths:
             if method == "none" and strength > 0:
@@ -139,23 +145,28 @@ def main(argv=None):
             if method in ("mc_feng", "mc_feng+grad"):
                 def make_mc(k, _lr=log_ratio):
                     return generate_mc_set(
-                        velocity_fn(fm_m, params_m),
-                        velocity_fn(fm_s, params_s), _lr, k,
+                        v_m, v_s, _lr, k,
                         args.mc_batch_size, (32, 32, 1), (32, 32, 3),
                         args.num_steps, log_ratio_clip=args.ratio_clip)
 
-            def sample_chunk(ck, n_i, mc_ci, _m=method, _g=strength):
-                return sample_bimodal_guided(
-                    velocity_fn(fm_m, params_m), velocity_fn(fm_s, params_s),
-                    log_ratio_fn=log_ratio if _m != "none" else None,
-                    guidance_method=_m, guidance_strength=_g,
-                    num_samples=n_i, num_steps=args.num_steps,
-                    mc_batch_size=args.mc_batch_size,
-                    x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=ck,
-                    mc_set=mc_ci, ess_floor=args.ess_floor,
-                    grad_strength=args.grad_strength,
-                    grad_scale=args.grad_scale, grad_t_max=args.grad_t_max,
-                    return_diagnostics=True)
+            # ONE jitted sampler per (method, strength), reused by every
+            # chunk — not a fresh trace per chunk.
+            cfg = GuidedSamplerConfig(
+                guidance_method=method, guidance_strength=strength,
+                num_steps=args.num_steps,
+                mc_batch_size=args.mc_batch_size,
+                x_shape=(32, 32, 1), y_shape=(32, 32, 3),
+                ess_floor=args.ess_floor,
+                grad_strength=args.grad_strength,
+                grad_scale=args.grad_scale, grad_t_max=args.grad_t_max)
+            sampler = jax.jit(
+                make_guided_sampler(
+                    v_m, v_s, cfg,
+                    log_ratio if method != "none" else None),
+                static_argnums=(1,))
+
+            def sample_chunk(ck, n_i, mc_ci, _s=sampler):
+                return _s(ck, n_i, mc_ci)
 
             print(f"  Sampling {args.num_samples} pairs...")
             samples_x, samples_y, merged_diags, chunk_info = sample_in_chunks(

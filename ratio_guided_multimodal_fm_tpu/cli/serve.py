@@ -96,6 +96,14 @@ class SamplerService:
         self._queue: "queue.Queue[_WorkItem]" = queue.Queue()
         self._warm_done = set()
         self._warm_lock = threading.Lock()
+        # ONE lock around every device interaction (warm compiles+runs on
+        # request threads, batch execution on the dispatcher thread).
+        # Concurrent device use from two threads permanently wedges the
+        # tunneled axon backend (CLAUDE.md: all threads in futex_do_wait,
+        # reproduced 4/4) — and on a single chip thread-overlap buys no
+        # throughput anyway. Cost: a cold (method, strength) holds the
+        # device for its first compile; warm traffic resumes right after.
+        self._device_lock = threading.RLock()
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
         self._dispatcher.start()
@@ -112,13 +120,14 @@ class SamplerService:
         with self._warm_lock:   # one compile at a time; re-check inside
             if key in self._warm_done:
                 return
-            s = self._sampler(method, strength)
-            noise = (jnp.zeros((self.batch_size,) + self.x_shape),
-                     jnp.zeros((self.batch_size,) + self.y_shape))
-            mc = (self._mc_set
-                  if method in ("mc_feng", "mc_feng+grad") else None)
-            out = s(jax.random.PRNGKey(0), self.batch_size, mc, noise)
-            np.asarray(out[0])   # real barrier (see __init__ note)
+            with self._device_lock:   # never overlap dispatcher execution
+                s = self._sampler(method, strength)
+                noise = (jnp.zeros((self.batch_size,) + self.x_shape),
+                         jnp.zeros((self.batch_size,) + self.y_shape))
+                mc = (self._mc_set
+                      if method in ("mc_feng", "mc_feng+grad") else None)
+                out = s(jax.random.PRNGKey(0), self.batch_size, mc, noise)
+                np.asarray(out[0])   # real barrier (see __init__ note)
             self._warm_done.add(key)
 
     def _sampler(self, method, strength):
@@ -143,8 +152,10 @@ class SamplerService:
         """Enqueue the request for the coalescing dispatcher and block for
         the result. (Fulfills the FULL n — a request used to be silently
         truncated to batch_size, round-1 review finding.) A first-use
-        (method, strength) pays its compile here, in this thread, so the
-        dispatcher never head-of-line blocks on a compile."""
+        (method, strength) pays its compile here, in this thread; the
+        device lock means in-flight dispatcher batches finish first and
+        pending warm traffic waits out the compile (the safe trade — see
+        the _device_lock note in __init__)."""
         self._ensure_warm(method, strength)
         item = _WorkItem(int(n), method, float(strength), int(seed))
         self._queue.put(item)
@@ -202,14 +213,15 @@ class SamplerService:
             y0 = np.concatenate([y0, y0[:1].repeat(pad, 0)])
         xs, ys = [], []
         t0 = time.perf_counter()
-        for i in range(len(x0) // bs):
-            x1, y1, _ = sampler(
-                jax.random.PRNGKey(0), bs, mc,
-                (jnp.asarray(x0[i * bs:(i + 1) * bs]),
-                 jnp.asarray(y0[i * bs:(i + 1) * bs])))
-            # host conversion inside the timed region — client-visible cost
-            xs.append(np.asarray(jax.block_until_ready(x1)))
-            ys.append(np.asarray(jax.block_until_ready(y1)))
+        with self._device_lock:   # see __init__: device work is serialized
+            for i in range(len(x0) // bs):
+                x1, y1, _ = sampler(
+                    jax.random.PRNGKey(0), bs, mc,
+                    (jnp.asarray(x0[i * bs:(i + 1) * bs]),
+                     jnp.asarray(y0[i * bs:(i + 1) * bs])))
+                # host conversion inside the timed region — client-visible
+                xs.append(np.asarray(jax.block_until_ready(x1)))
+                ys.append(np.asarray(jax.block_until_ready(y1)))
         dt = time.perf_counter() - t0
         x_all = np.concatenate(xs)
         y_all = np.concatenate(ys)

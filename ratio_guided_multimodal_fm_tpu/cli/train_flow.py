@@ -10,8 +10,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import os
-import shutil
 
 import jax
 import jax.numpy as jnp
@@ -82,26 +80,29 @@ def main(argv=None):
     rng = RNG(args.seed + 1)
     modality = args.modality
 
-    def data_iter(epoch):
-        # Position-addressed epochs (loader.epoch(e), not the stateful
-        # __iter__): a preemption-resumed process reproduces epoch e's
-        # batch order exactly even though its loader is freshly built.
-        it = (loader.epoch(epoch) if hasattr(loader, "epoch")
-              else iter(loader))
-        for batch in it:
-            yield jnp.asarray(batch[modality])
-
     best_path = get_checkpoint_path("flow", args.modality, transform_for_loader,
                                     "best")
 
     # Preemption auto-resume (SURVEY §5.3): a prior SIGTERM'd run left
-    # {params, opt_state, epoch, step}; restore and skip to that position.
-    from ratio_guided_multimodal_fm_tpu.train.loop import restore_preempt
-    (state, start_epoch, start_step,
-     start_best, start_patience) = restore_preempt(args.preempt_path, state)
-    if start_epoch or start_step:
-        print(f"Resuming preempted run: epoch {start_epoch}, "
-              f"step {start_step} (best {start_best:.4f})")
+    # {params, opt_state, epoch, step, partial metric sums}; restore and
+    # skip to that position.
+    from ratio_guided_multimodal_fm_tpu.train.loop import (
+        epoch_data_iter,
+        finish_preemptible,
+        restore_preempt,
+    )
+    state, resume = restore_preempt(args.preempt_path, state)
+    if resume["start_epoch"] or resume["start_step"]:
+        print(f"Resuming preempted run: epoch {resume['start_epoch']}, "
+              f"step {resume['start_step']} "
+              f"(best {resume['start_best']:.4f})")
+
+    # Multi-process DP (no-op single-process): replicate state over the
+    # global mesh, shard batches over 'data' (cli/common.multihost_adapt).
+    from ratio_guided_multimodal_fm_tpu.cli.common import multihost_adapt
+    state, step, extract = multihost_adapt(
+        state, step, lambda b: jnp.asarray(b[modality]))
+    data_iter = epoch_data_iter(loader, extract)
     metrics_logger = None
     if args.metrics_dir:
         from ratio_guided_multimodal_fm_tpu.core.observability import MetricsLogger
@@ -117,21 +118,10 @@ def main(argv=None):
                 "flow", args.modality, transform_for_loader, f"epoch{e}"),
             save_every=args.save_every, patience=args.patience,
             metrics_logger=metrics_logger,
-            preempt_path=args.preempt_path,
-            start_epoch=start_epoch, start_step=start_step,
-            start_best=start_best, start_patience_counter=start_patience)
+            preempt_path=args.preempt_path, **resume)
 
-    if history and history[-1].get("preempted"):
-        if args.preempt_path:
-            print("\nPreempted — resumable checkpoint saved; rerun the same "
-                  "command to continue.")
-        else:
-            print("\nPreempted — stopped cleanly after the in-flight step. "
-                  "No resumable checkpoint (run with --preempt_path to "
-                  "enable step-granular resume).")
+    if finish_preemptible(history, args.preempt_path):
         return
-    if args.preempt_path and os.path.isdir(args.preempt_path):
-        shutil.rmtree(args.preempt_path)   # completed: clear resume state
     print("\nTraining complete!")
 
 

@@ -6,8 +6,6 @@ checkpoints flow_mnist32_{best|epochN} in full-dict format for resume.
 from __future__ import annotations
 
 import argparse
-import os
-import shutil
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +24,8 @@ from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
     save_train_checkpoint,
 )
 from ratio_guided_multimodal_fm_tpu.train.loop import (
+    epoch_data_iter,
+    finish_preemptible,
     restore_preempt,
     train_epochs,
 )
@@ -66,22 +66,23 @@ def run_flow_training(model, sample_shape, loader, args, ckpt_prefix: str):
 
     # Step-granular preemption resume takes precedence over the
     # epoch-granular --resume when its checkpoint exists.
-    start_step, start_patience = 0, 0
     preempt_path = getattr(args, "preempt_path", None)
-    if preempt_path and os.path.isdir(preempt_path):
-        (state, start_epoch, start_step,
-         best_loss, start_patience) = restore_preempt(preempt_path, state)
-        print(f"Resuming preempted run: epoch {start_epoch}, "
-              f"step {start_step} (best {best_loss:.4f})")
+    state, resume = restore_preempt(preempt_path, state)
+    if resume["start_epoch"] or resume["start_step"]:
+        print(f"Resuming preempted run: epoch {resume['start_epoch']}, "
+              f"step {resume['start_step']} "
+              f"(best {resume['start_best']:.4f})")
+    else:
+        resume["start_epoch"] = start_epoch    # from --resume (epoch-level)
+        resume["start_best"] = best_loss
 
     step = make_fm_train_step(model)
     rng = RNG(args.seed + 1)
 
-    def data_iter(epoch):
-        it = (loader.epoch(epoch) if hasattr(loader, "epoch")
-              else iter(loader))
-        for batch in it:
-            yield jnp.asarray(batch["x"])
+    from ratio_guided_multimodal_fm_tpu.cli.common import multihost_adapt
+    state, step_fn, extract = multihost_adapt(
+        state, lambda s, x, k: step(s, x, k),
+        lambda b: jnp.asarray(b["x"]))
 
     def save_best(s, epoch, best):
         path = f"checkpoints/{ckpt_prefix}_best"
@@ -94,25 +95,16 @@ def run_flow_training(model, sample_shape, loader, args, ckpt_prefix: str):
         print(f"  -> Saved checkpoint: {path}")
 
     _, best, history = train_epochs(
-        state, lambda s, x, k: step(s, x, k), data_iter, args.epochs, rng,
+        state, step_fn,
+        epoch_data_iter(loader, extract),
+        args.epochs, rng,
         loss_key=None,
         save_best_fn=save_best, save_periodic_fn=save_periodic,
         save_every=args.save_every, patience=args.patience,
-        preempt_path=preempt_path,
-        start_epoch=start_epoch, start_step=start_step,
-        start_best=best_loss, start_patience_counter=start_patience)
+        preempt_path=preempt_path, **resume)
 
-    if history and history[-1].get("preempted"):
-        if preempt_path:
-            print("\nPreempted — resumable checkpoint saved; rerun the same "
-                  "command to continue.")
-        else:
-            print("\nPreempted — stopped cleanly after the in-flight step. "
-                  "No resumable checkpoint (run with --preempt_path to "
-                  "enable step-granular resume).")
+    if finish_preemptible(history, preempt_path):
         return
-    if preempt_path and os.path.isdir(preempt_path):
-        shutil.rmtree(preempt_path)   # completed: clear resume state
     print("\nTraining complete!")
     print(f"Best loss: {best:.4f}")
 

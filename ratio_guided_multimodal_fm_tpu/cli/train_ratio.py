@@ -7,8 +7,6 @@ reference (train_ratio.py:87).
 from __future__ import annotations
 
 import argparse
-import os
-import shutil
 
 import jax
 
@@ -26,6 +24,8 @@ from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
     wait_for_saves,
 )
 from ratio_guided_multimodal_fm_tpu.train.loop import (
+    epoch_data_iter,
+    finish_preemptible,
     restore_preempt,
     train_epochs,
 )
@@ -76,17 +76,11 @@ def main(argv=None):
                                  lambda_penalty=args.lambda_penalty)
     rng = RNG(args.seed + 1)
 
-    (state, start_epoch, start_step,
-     start_best, start_patience) = restore_preempt(args.preempt_path, state)
-    if start_epoch or start_step:
-        print(f"Resuming preempted run: epoch {start_epoch}, "
-              f"step {start_step} (best {start_best:.4f})")
-
-    def data_iter(epoch):
-        it = (loader.epoch(epoch) if hasattr(loader, "epoch")
-              else iter(loader))
-        for batch in it:
-            yield batch_to_jnp(batch)
+    state, resume = restore_preempt(args.preempt_path, state)
+    if resume["start_epoch"] or resume["start_step"]:
+        print(f"Resuming preempted run: epoch {resume['start_epoch']}, "
+              f"step {resume['start_step']} "
+              f"(best {resume['start_best']:.4f})")
 
     def save_best(s, epoch, best):
         path = get_checkpoint_path("ratio", args.loss_type,
@@ -99,28 +93,21 @@ def main(argv=None):
             "ratio", args.loss_type, args.transform_type,
             f"epoch{epoch}"), s.params, async_save=True)
 
+    from ratio_guided_multimodal_fm_tpu.cli.common import multihost_adapt
+    state, step_fn, extract = multihost_adapt(
+        state, lambda s, b, k: step(s, b["x"], b["y"], b["is_real"], k),
+        batch_to_jnp)
+
     _, best, history = train_epochs(
-        state,
-        lambda s, b, k: step(s, b["x"], b["y"], b["is_real"], k),
-        data_iter, args.epochs, rng,
+        state, step_fn,
+        epoch_data_iter(loader, extract), args.epochs, rng,
         loss_key="loss",
         save_best_fn=save_best, save_periodic_fn=save_periodic,
         save_every=10, patience=5,
-        preempt_path=args.preempt_path,
-        start_epoch=start_epoch, start_step=start_step,
-        start_best=start_best, start_patience_counter=start_patience)
+        preempt_path=args.preempt_path, **resume)
 
-    if history and history[-1].get("preempted"):
-        if args.preempt_path:
-            print("\nPreempted — resumable checkpoint saved; rerun the same "
-                  "command to continue.")
-        else:
-            print("\nPreempted — stopped cleanly after the in-flight step. "
-                  "No resumable checkpoint (run with --preempt_path to "
-                  "enable step-granular resume).")
+    if finish_preemptible(history, args.preempt_path):
         return
-    if args.preempt_path and os.path.isdir(args.preempt_path):
-        shutil.rmtree(args.preempt_path)   # completed: clear resume state
     wait_for_saves()
     print("\nTraining complete!")
     print(f"Best loss: {best:.4f}")

@@ -7,8 +7,6 @@ step threads the batch_stats collection.
 from __future__ import annotations
 
 import argparse
-import os
-import shutil
 
 import jax
 
@@ -29,6 +27,8 @@ from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
     wait_for_saves,
 )
 from ratio_guided_multimodal_fm_tpu.train.loop import (
+    epoch_data_iter,
+    finish_preemptible,
     restore_preempt,
     train_epochs,
 )
@@ -71,17 +71,11 @@ def main(argv=None):
     step = make_ratio_train_step(model, args.loss_type, has_batch_stats=True)
     rng = RNG(args.seed + 1)
 
-    (state, start_epoch, start_step,
-     start_best, start_patience) = restore_preempt(args.preempt_path, state)
-    if start_epoch or start_step:
-        print(f"Resuming preempted run: epoch {start_epoch}, "
-              f"step {start_step} (best {start_best:.4f})")
-
-    def data_iter(epoch):
-        it = (loader.epoch(epoch) if hasattr(loader, "epoch")
-              else iter(loader))
-        for batch in it:
-            yield batch_to_jnp(batch)
+    state, resume = restore_preempt(args.preempt_path, state)
+    if resume["start_epoch"] or resume["start_step"]:
+        print(f"Resuming preempted run: epoch {resume['start_epoch']}, "
+              f"step {resume['start_step']} "
+              f"(best {resume['start_best']:.4f})")
 
     def save_best(s, epoch, best):
         path = f"checkpoints/ratio_{args.loss_type}_mnist_svhn_best"
@@ -96,28 +90,21 @@ def main(argv=None):
             {"params": s.params, "batch_stats": s.batch_stats},
             async_save=True)
 
+    from ratio_guided_multimodal_fm_tpu.cli.common import multihost_adapt
+    state, step_fn, extract = multihost_adapt(
+        state, lambda s, b, k: step(s, b["x"], b["y"], b["is_real"], k),
+        batch_to_jnp)
+
     _, _, history = train_epochs(
-        state,
-        lambda s, b, k: step(s, b["x"], b["y"], b["is_real"], k),
-        data_iter, args.epochs, rng,
+        state, step_fn,
+        epoch_data_iter(loader, extract), args.epochs, rng,
         loss_key="loss",
         save_best_fn=save_best, save_periodic_fn=save_periodic,
         save_every=10, patience=5,
-        preempt_path=args.preempt_path,
-        start_epoch=start_epoch, start_step=start_step,
-        start_best=start_best, start_patience_counter=start_patience)
+        preempt_path=args.preempt_path, **resume)
 
-    if history and history[-1].get("preempted"):
-        if args.preempt_path:
-            print("\nPreempted — resumable checkpoint saved; rerun the same "
-                  "command to continue.")
-        else:
-            print("\nPreempted — stopped cleanly after the in-flight step. "
-                  "No resumable checkpoint (run with --preempt_path to "
-                  "enable step-granular resume).")
+    if finish_preemptible(history, args.preempt_path):
         return
-    if args.preempt_path and os.path.isdir(args.preempt_path):
-        shutil.rmtree(args.preempt_path)   # completed: clear resume state
     wait_for_saves()
     print("\nTraining complete!")
 

@@ -59,10 +59,17 @@ def device_prefetch(it: Iterable, depth: int = 2,
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
             err.append(e)
         finally:
-            try:
-                q.put_nowait(_SENTINEL)
-            except queue.Full:
-                pass
+            # The sentinel must use the same bounded-put loop as the data
+            # items: with a slower consumer the queue is typically FULL
+            # here, and a dropped sentinel (put_nowait + swallowed Full)
+            # would leave the consumer blocked in q.get() forever at the
+            # end of every epoch.
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()

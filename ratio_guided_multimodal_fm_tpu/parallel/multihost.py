@@ -119,3 +119,36 @@ def make_global_array(local_rows: np.ndarray, mesh: jax.sharding.Mesh,
     sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(axis))
     return jax.make_array_from_process_local_data(sharding, local_rows)
+
+
+def global_data_mesh() -> jax.sharding.Mesh:
+    """1-D ('data',) mesh over ALL global devices (every process's)."""
+    return jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+
+
+def replicate_tree(tree, mesh: jax.sharding.Mesh):
+    """Replicate every leaf of a (host-local, identical-on-every-process)
+    pytree onto the global mesh — the DP layout for ≤9.1M-param models:
+    params/opt_state replicated, batch sharded, XLA all-reduces grads."""
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    return jax.tree_util.tree_map(
+        lambda v: jax.make_array_from_process_local_data(rep, np.asarray(v)),
+        tree)
+
+
+def globalize_batch(batch, mesh: jax.sharding.Mesh, axis: str = "data"):
+    """Turn a full (identically-seeded) host batch — array or pytree of
+    arrays — into globally sharded jax.Arrays: this process materializes
+    only its contiguous row slice; the assembled array IS the global
+    batch (tests/test_multihost.py)."""
+    pi, pc = jax.process_index(), jax.process_count()
+
+    def one(v):
+        v = np.asarray(v)
+        if len(v) % pc:
+            raise ValueError(f"global batch axis {len(v)} not divisible "
+                             f"by process_count {pc}")
+        n = len(v) // pc
+        return make_global_array(v[pi * n:(pi + 1) * n], mesh, axis)
+
+    return jax.tree_util.tree_map(one, batch)

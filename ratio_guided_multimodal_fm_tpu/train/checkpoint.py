@@ -54,6 +54,13 @@ def save_checkpoint(path: str, tree: Any, async_save: bool = False) -> None:
     With async_save=True the save proceeds in a background thread (Orbax
     AsyncCheckpointer) so the train loop keeps stepping — call
     `wait_for_saves()` before process exit (SURVEY §5.3 plan).
+
+    Multi-process runs: EVERY process must call this (the replicated
+    metrics make all processes take the same save decisions, so they do)
+    — Orbax coordinates the write internally (primary-host writes,
+    cross-process barriers). Gating to process 0 deadlocks the primary
+    inside Orbax's sync (observed in tests/test_multihost_train.py's
+    development); do not "optimize" this into an early return.
     """
     path = os.path.abspath(path)
     if async_save:

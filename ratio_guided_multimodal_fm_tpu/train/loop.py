@@ -50,26 +50,80 @@ def restore_preempt(preempt_path: Optional[str], state):
     """Restore a preemption checkpoint (if one exists at `preempt_path`)
     into `state`.
 
-    Returns (state, start_epoch, start_step, start_best,
-    start_patience_counter) — the identity tuple when there is nothing to
-    restore. Handles states with and without a batch_stats collection
-    (BatchNorm ratio nets).
+    Returns (state, resume) where `resume` is a kwargs dict for
+    `train_epochs(..., **resume)`: start_epoch, start_step, start_best,
+    start_patience_counter, start_partial_sums, start_partial_count.
+    `resume` holds all-zero defaults when there is nothing to restore.
+    Handles states with and without a batch_stats collection (BatchNorm
+    ratio nets).
     """
+    resume = {"start_epoch": 0, "start_step": 0,
+              "start_best": float("inf"), "start_patience_counter": 0,
+              "start_partial_sums": None, "start_partial_count": 0}
     if not (preempt_path and os.path.isdir(preempt_path)):
-        return state, 0, 0, float("inf"), 0
-    target = {"params": state.params, "opt_state": state.opt_state,
-              "epoch": 0, "step": 0, "best_loss": float("inf"),
-              "patience_counter": 0}
+        return state, resume
+    # Raw restore first: the scalar fields (and the metrics-keyed
+    # partial_sums dict, whose keys the caller can't know) come straight
+    # from disk; a second targeted restore recovers the params/opt_state
+    # pytree STRUCTURE (optax states are NamedTuple chains that a raw
+    # restore would flatten to dicts).
+    raw = load_checkpoint(preempt_path)
+    target = dict(raw)
+    target["params"] = state.params
+    target["opt_state"] = state.opt_state
     has_bs = getattr(state, "batch_stats", None) is not None
-    if has_bs:
+    if has_bs and "batch_stats" in raw:
         target["batch_stats"] = state.batch_stats
     restored = load_checkpoint(preempt_path, target=target)
     repl = {"params": restored["params"], "opt_state": restored["opt_state"]}
-    if has_bs:
+    if has_bs and "batch_stats" in restored:
         repl["batch_stats"] = restored["batch_stats"]
     state = state.replace(**repl)
-    return (state, int(restored["epoch"]), int(restored["step"]),
-            float(restored["best_loss"]), int(restored["patience_counter"]))
+    resume.update(
+        start_epoch=int(raw["epoch"]), start_step=int(raw["step"]),
+        start_best=float(raw["best_loss"]),
+        start_patience_counter=int(raw["patience_counter"]))
+    if raw.get("partial_count") is not None:
+        resume["start_partial_count"] = int(raw["partial_count"])
+        ps = raw.get("partial_sums")
+        if ps:
+            resume["start_partial_sums"] = {k: float(v)
+                                            for k, v in ps.items()}
+    return state, resume
+
+
+def finish_preemptible(history, preempt_path: Optional[str],
+                       log_fn: Callable[[str], None] = print) -> bool:
+    """Shared CLI epilogue: report the preemption outcome honestly and
+    clear consumed resume state. Returns True when the run was preempted
+    (the caller should return instead of printing 'Training complete')."""
+    if history and history[-1].get("preempted"):
+        if preempt_path:
+            log_fn("\nPreempted — resumable checkpoint saved; rerun the "
+                   "same command to continue.")
+        else:
+            log_fn("\nPreempted — stopped cleanly after the in-flight "
+                   "step. No resumable checkpoint (run with "
+                   "--preempt_path to enable step-granular resume).")
+        return True
+    if (preempt_path and os.path.isdir(preempt_path)
+            and jax.process_index() == 0):    # single writer, like saves
+        import shutil
+        shutil.rmtree(preempt_path)   # completed: clear resume state
+    return False
+
+
+def epoch_data_iter(loader, extract: Callable = lambda b: b):
+    """Position-addressed epoch iterator factory for train_epochs: uses
+    loader.epoch(e) when available (preemption-resume contract — a
+    restarted process must reproduce epoch e's batch order) and maps
+    `extract` over batches (e.g. `lambda b: jnp.asarray(b["x"])`)."""
+    def data_iter(epoch):
+        it = (loader.epoch(epoch) if hasattr(loader, "epoch")
+              else iter(loader))
+        for batch in it:
+            yield extract(batch)
+    return data_iter
 
 
 def train_epochs(
@@ -92,23 +146,28 @@ def train_epochs(
     start_step: int = 0,
     start_best: float = float("inf"),
     start_patience_counter: int = 0,
+    start_partial_sums: Optional[dict] = None,
+    start_partial_count: int = 0,
 ):
     """Generic training driver. Returns (state, best_loss, history).
 
     Preemption-safe (SURVEY §5.3): SIGTERM sets a flag (train/
     preemption.py); the driver finishes the in-flight step, saves
     {params, opt_state, batch_stats?, epoch, step, best_loss,
-    patience_counter} to `preempt_path` and returns with
-    history[-1]["preempted"]=True. Resume by restoring the state and
-    passing (start_epoch, start_step, start_best, start_patience_counter)
-    — `restore_preempt` does both — the early-stop bookkeeping must
-    survive the restart or a post-resume worse epoch would overwrite the
-    saved best model. Exactness: per-step train keys are
-    fold_in(root, epoch, step) — position-addressed, not a sequential
-    stream — and epoch batch order is position-addressed too
-    (data_iter_fn(epoch) must derive order from the epoch argument, e.g.
-    _EpochLoader.epoch(e)), so a mid-epoch restart reproduces the
-    uninterrupted run bit-for-bit (tests/test_preemption.py).
+    patience_counter, partial_sums, partial_count} to `preempt_path` and
+    returns with history[-1]["preempted"]=True. Resume by restoring the
+    state and passing the start_* kwargs — `restore_preempt` does both.
+    The early-stop bookkeeping must survive the restart or a post-resume
+    worse epoch would overwrite the saved best model; the PARTIAL-EPOCH
+    metric sums must survive too, or the restart epoch's average would
+    cover only post-resume steps and the best-checkpoint / early-stop
+    decisions would diverge from the uninterrupted run. Exactness:
+    per-step train keys are fold_in(root, epoch, step) —
+    position-addressed, not a sequential stream — and epoch batch order
+    is position-addressed too (data_iter_fn(epoch) must derive order from
+    the epoch argument, e.g. _EpochLoader.epoch(e)), so a mid-epoch
+    restart reproduces the uninterrupted run bit-for-bit
+    (tests/test_preemption.py).
     """
     from ratio_guided_multimodal_fm_tpu.train.preemption import (
         PreemptionGuard,
@@ -120,7 +179,17 @@ def train_epochs(
     history = []
     root_key = rng.next()   # per-step keys derive from (epoch, step)
 
-    def _save_preempt(epoch, step_i):
+    def _sums(outs):
+        """Host-side per-key sums of the step outputs so far."""
+        if loss_key is None:
+            return {"loss": float(np.sum([jax.device_get(o)
+                                          for o in outs]))} if outs else {}
+        if not outs:
+            return {}
+        return {k: float(np.sum([jax.device_get(o[k]) for o in outs]))
+                for k in outs[0]}
+
+    def _save_preempt(epoch, step_i, sums, count):
         if preempt_path:
             tree = {
                 "params": state.params,
@@ -129,6 +198,8 @@ def train_epochs(
                 "step": step_i,
                 "best_loss": stopper.best,
                 "patience_counter": stopper.counter,
+                "partial_sums": sums,
+                "partial_count": count,
             }
             if getattr(state, "batch_stats", None) is not None:
                 tree["batch_stats"] = state.batch_stats
@@ -141,7 +212,10 @@ def train_epochs(
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
             outs = []
-            skip = start_step if epoch == start_epoch else 0
+            restarting = epoch == start_epoch
+            skip = start_step if restarting else 0
+            carry = dict(start_partial_sums or {}) if restarting else {}
+            carry_n = start_partial_count if restarting else 0
             epoch_key = jax.random.fold_in(root_key, epoch)
             for step_i, batch in enumerate(data_iter_fn(epoch)):
                 if step_i < skip:
@@ -151,28 +225,32 @@ def train_epochs(
                 outs.append(out)
                 if guard.preempted:
                     wait_for_saves()
-                    _save_preempt(epoch, step_i + 1)
+                    sums = _sums(outs)
+                    for k, v in carry.items():
+                        sums[k] = sums.get(k, 0.0) + v
+                    _save_preempt(epoch, step_i + 1, sums,
+                                  len(outs) + carry_n)
                     history.append({"epoch": epoch + 1,
                                     "preempted_at_step": step_i + 1,
                                     "preempted": True})
                     wait_for_saves()
                     return state, stopper.best, history
-            if not outs:
-                # Resumed exactly at the epoch boundary (preempted on its
-                # last step): nothing ran — don't feed NaN to the stopper
-                # or metrics, just move to the next epoch.
+            n_steps = len(outs) + carry_n
+            if not n_steps:
+                # Nothing ran and nothing was carried (epoch produced no
+                # batches) — don't feed NaN to the stopper or metrics.
                 continue
             dt = time.time() - t0
             steps_per_sec = len(outs) / max(dt, 1e-9)
+            totals = _sums(outs)
+            for k, v in carry.items():
+                totals[k] = totals.get(k, 0.0) + v
+            avg = {k: v / n_steps for k, v in totals.items()}
+            avg_loss = avg[loss_key or "loss"]
             if loss_key is None:
-                avg_loss = float(np.mean([jax.device_get(o) for o in outs]))
-                avg = {"loss": avg_loss}
                 log_fn(f"Epoch {epoch+1}/{epochs} - Loss: {avg_loss:.4f} "
                        f"({steps_per_sec:.1f} steps/s)")
             else:
-                avg = {k: float(np.mean([jax.device_get(o[k]) for o in outs]))
-                       for k in outs[0]}
-                avg_loss = avg[loss_key]
                 log_fn(f"Epoch {epoch+1}/{epochs} - " +
                        " - ".join(f"{k}: {v:.4f}" for k, v in avg.items()))
             history.append({"epoch": epoch + 1, **avg,
@@ -213,6 +291,8 @@ def train_flow_matching_epochs(
     start_step: int = 0,
     start_best: float = float("inf"),
     start_patience_counter: int = 0,
+    start_partial_sums: Optional[dict] = None,
+    start_partial_count: int = 0,
 ):
     """FM-specialized wrapper over `train_epochs` (scalar-loss steps,
     params-only best/periodic checkpoints). Returns (state, best, history).
@@ -234,4 +314,6 @@ def train_flow_matching_epochs(
         save_every=save_every, patience=patience, log_fn=log_fn,
         metrics_logger=metrics_logger, preempt_path=preempt_path,
         start_epoch=start_epoch, start_step=start_step,
-        start_best=start_best, start_patience_counter=start_patience_counter)
+        start_best=start_best, start_patience_counter=start_patience_counter,
+        start_partial_sums=start_partial_sums,
+        start_partial_count=start_partial_count)

@@ -28,6 +28,8 @@ import threading
 from typing import Iterable
 
 _flag = threading.Event()
+_depth = 0
+_depth_lock = threading.Lock()
 
 
 def request_preemption() -> None:
@@ -35,28 +37,58 @@ def request_preemption() -> None:
     _flag.set()
 
 
+def arm(signals: Iterable[int] = (signal.SIGTERM,)) -> None:
+    """Permanently route `signals` to the preemption flag (no restore).
+
+    CLIs call this at startup (cli/common.init_runtime) so a SIGTERM that
+    lands BEFORE the epoch driver enters its PreemptionGuard — during data
+    loading, state init, or the first compile, which can take minutes on a
+    tunneled backend — is remembered and honored at the first completed
+    step instead of killing the process with nothing saved.
+    """
+    for s in signals:
+        try:
+            signal.signal(s, lambda *_: _flag.set())
+        except ValueError:            # non-main thread: flag-only mode
+            pass
+
+
 class PreemptionGuard:
-    """Installs SIGTERM/SIGINT handlers that set a flag instead of killing
-    the process; restores previous handlers on exit. Re-entrant safe for
-    nested drivers (flag is process-global)."""
+    """Routes SIGTERM to a process-global flag while active; restores the
+    previous handlers when the OUTERMOST guard exits. Nesting-safe: an
+    inner guard neither reinstalls handlers nor erases a pending flag
+    (a pre-entry SIGTERM — e.g. during `arm()`-covered startup — must be
+    honored at the first step, and an outer driver must still see a
+    preemption its nested driver responded to). The flag is consumed
+    (cleared) only when the outermost guard exits."""
 
     def __init__(self, signals: Iterable[int] = (signal.SIGTERM,)):
         self._signals = tuple(signals)
         self._prev = {}
+        self._outermost = False
 
     def __enter__(self):
-        _flag.clear()
-        for s in self._signals:
-            try:
-                self._prev[s] = signal.signal(
-                    s, lambda *_: _flag.set())
-            except ValueError:       # non-main thread: flag-only mode
-                pass
+        global _depth
+        with _depth_lock:
+            self._outermost = _depth == 0
+            _depth += 1
+        if self._outermost:
+            for s in self._signals:
+                try:
+                    self._prev[s] = signal.signal(
+                        s, lambda *_: _flag.set())
+                except ValueError:    # non-main thread: flag-only mode
+                    pass
         return self
 
     def __exit__(self, *exc):
-        for s, h in self._prev.items():
-            signal.signal(s, h)
+        global _depth
+        with _depth_lock:
+            _depth -= 1
+        if self._outermost:
+            for s, h in self._prev.items():
+                signal.signal(s, h)
+            _flag.clear()             # consumed by the outermost driver
         return False
 
     @property

@@ -8,6 +8,7 @@ import signal
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ratio_guided_multimodal_fm_tpu.core.prng import RNG
 from ratio_guided_multimodal_fm_tpu.models.unet import FlexibleUNet
@@ -48,13 +49,30 @@ def test_guard_restores_handlers():
         request_preemption()
         assert g.preempted
     assert signal.getsignal(signal.SIGTERM) is before
+    # the outermost exit consumes the flag
+    with PreemptionGuard() as g2:
+        assert not g2.preempted
+
+
+def test_guard_preserves_pending_preemption():
+    """A SIGTERM that lands BEFORE the driver enters its guard (startup
+    window covered by preemption.arm) must be honored at the first step,
+    and a nested guard must not erase an outer guard's pending flag."""
+    request_preemption()             # pre-entry signal (arm()-window case)
+    with PreemptionGuard() as g:
+        assert g.preempted           # not erased by __enter__
+    with PreemptionGuard() as outer:
+        request_preemption()
+        with PreemptionGuard() as inner:
+            assert inner.preempted
+        assert outer.preempted       # inner exit didn't consume it
 
 
 def test_preempt_saves_and_resume_matches_uninterrupted(tmp_path):
     ck = str(tmp_path / "preempt")
 
     # uninterrupted reference run: 3 epochs
-    state_ref, _, _ = train_flow_matching_epochs(
+    state_ref, _, hist_ref = train_flow_matching_epochs(
         _fresh()[0], _fresh()[1], _data_iter_fn, 3, RNG(7),
         log_fn=lambda *_: None)
 
@@ -78,19 +96,69 @@ def test_preempt_saves_and_resume_matches_uninterrupted(tmp_path):
     assert int(saved["epoch"]) == 1 and int(saved["step"]) == 2
 
     # resume: fresh state/opt restored from the checkpoint, mid-epoch skip
+    from ratio_guided_multimodal_fm_tpu.train.loop import restore_preempt
     state_r, _ = _fresh()
-    restored = load_checkpoint(ck, target={
-        "params": state_r.params, "opt_state": state_r.opt_state,
-        "epoch": 0, "step": 0, "best_loss": float("inf"),
-        "patience_counter": 0})
-    state_r = state_r.replace(params=restored["params"],
-                              opt_state=restored["opt_state"])
+    state_r, resume = restore_preempt(ck, state_r)
+    assert (resume["start_epoch"], resume["start_step"]) == (1, 2)
     # per-step keys are position-addressed fold_ins, so a fresh RNG with
     # the same seed aligns automatically
-    state_r, _, _ = train_flow_matching_epochs(
+    state_r, _, hist_r = train_flow_matching_epochs(
         state_r, step, _data_iter_fn, 3, RNG(7),
-        start_epoch=1, start_step=2, log_fn=lambda *_: None)
+        log_fn=lambda *_: None, **resume)
 
+    for a, b in zip(jax.tree_util.tree_leaves(state_ref.params),
+                    jax.tree_util.tree_leaves(state_r.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Epoch-level OUTCOMES match too: the restart epoch's average covers
+    # all N_BATCHES steps (pre-preempt sums carried in the checkpoint),
+    # not just the post-resume ones — so best-checkpoint / early-stop
+    # decisions can't diverge from the uninterrupted run.
+    ref = {h["epoch"]: h["loss"] for h in hist_ref}
+    res = {h["epoch"]: h["loss"] for h in hist_r}
+    assert set(res) == {2, 3}                       # epochs 2,3 re-run
+    for e in res:
+        assert res[e] == pytest.approx(ref[e], rel=1e-6)
+
+
+def test_preempt_on_last_step_keeps_epoch_summary(tmp_path):
+    """Preempted on an epoch's LAST step: the resumed run starts with
+    zero remaining steps in that epoch but must still produce its
+    summary/best-save from the carried sums instead of silently dropping
+    the fully-computed epoch."""
+    ck = str(tmp_path / "preempt_last")
+
+    state_ref, _, hist_ref = train_flow_matching_epochs(
+        _fresh()[0], _fresh()[1], _data_iter_fn, 2, RNG(7),
+        log_fn=lambda *_: None)
+
+    state, step = _fresh()
+    count = {"n": 0}
+
+    def counting_step(st, x1, key):
+        count["n"] += 1
+        if count["n"] == N_BATCHES:          # epoch 0's last step
+            request_preemption()
+        return step(st, x1, key)
+
+    _, _, hist = train_flow_matching_epochs(
+        state, counting_step, _data_iter_fn, 2, RNG(7),
+        preempt_path=ck, log_fn=lambda *_: None)
+    assert hist[-1]["preempted_at_step"] == N_BATCHES
+
+    from ratio_guided_multimodal_fm_tpu.train.loop import restore_preempt
+    state_r, _ = _fresh()
+    state_r, resume = restore_preempt(ck, state_r)
+    assert resume["start_step"] == N_BATCHES
+    state_r, _, hist_r = train_flow_matching_epochs(
+        state_r, step, _data_iter_fn, 2, RNG(7),
+        log_fn=lambda *_: None, **resume)
+
+    ref = {h["epoch"]: h["loss"] for h in hist_ref}
+    res = {h["epoch"]: h["loss"] for h in hist_r}
+    assert set(res) == {1, 2}                # epoch 1's summary NOT dropped
+    for e in res:
+        assert res[e] == pytest.approx(ref[e], rel=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(state_ref.params),
                     jax.tree_util.tree_leaves(state_r.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -181,12 +249,13 @@ def test_generic_driver_ratio_preempt_resume(tmp_path):
     assert "batch_stats" in saved              # BN state is in the ckpt
 
     state_r, _ = fresh()
-    (state_r, se, ss, sb, sp) = restore_preempt(ck, state_r)
-    assert (se, ss) == (1, 2)
+    state_r, resume = restore_preempt(ck, state_r)
+    assert (resume["start_epoch"], resume["start_step"]) == (1, 2)
+    assert resume["start_partial_count"] == 2      # carried partial sums
+    assert "loss" in (resume["start_partial_sums"] or {})
     state_r, _, _ = train_epochs(
         state_r, step, data_iter, 3, RNG(9),
-        loss_key="loss", start_epoch=se, start_step=ss, start_best=sb,
-        start_patience_counter=sp, log_fn=lambda *_: None)
+        loss_key="loss", log_fn=lambda *_: None, **resume)
 
     for tree_a, tree_b in ((state_ref.params, state_r.params),
                            (state_ref.batch_stats, state_r.batch_stats)):

@@ -46,6 +46,30 @@ def test_prefetch_len_passthrough(tmp_path):
     assert len(PrefetchLoader(loader)) == len(loader)
 
 
+def test_slow_consumer_gets_sentinel():
+    """End-of-epoch with a consumer slower than the producer: the queue is
+    FULL when the producer finishes (depth=2, 3 items, consumer sleeping),
+    and the sentinel must still arrive — a put_nowait sentinel was dropped
+    on queue.Full, leaving the consumer blocked in q.get() forever."""
+    import threading
+    import time
+
+    from ratio_guided_multimodal_fm_tpu.data.prefetch import device_prefetch
+
+    out, done = [], threading.Event()
+
+    def consume():
+        for v in device_prefetch(iter([0, 1, 2]), depth=2):
+            time.sleep(0.3)   # producer finishes + fills the queue meanwhile
+            out.append(int(v))
+        done.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert done.wait(timeout=30), "consumer never saw the end sentinel"
+    assert out == [0, 1, 2]
+
+
 def test_wrap_loader_axon_gate(monkeypatch):
     """On the axon tunnel backend the producer thread's device_put racing
     the main thread's compile deadlocks the client (2026-08-17, 4/4
