@@ -58,6 +58,22 @@ def add_common_flags(p: argparse.ArgumentParser, seed_default: int = 42):
                         "grouped-conv lowering loses to two dense convs")
 
 
+def arm_preemption():
+    """Train-CLI startup hook: route SIGTERM to the preemption flag so a
+    signal landing before the epoch driver's PreemptionGuard (data
+    loading / state init / first compile — minutes on a tunneled
+    backend) is remembered and honored at the first completed step
+    instead of killing the process unsaved.
+
+    ONLY the train CLIs call this: they always reach train_epochs, which
+    consumes the flag. Arming it in evaluate/sample/serve would make
+    SIGTERM a silent no-op there (nothing polls the flag) — breaking
+    `timeout`, graceful server shutdown, and plain `kill`.
+    """
+    from ratio_guided_multimodal_fm_tpu.train.preemption import arm
+    arm()
+
+
 def init_runtime(args):
     """Per-CLI runtime setup: backend override + multi-host init (no-op
     single-process). Returns (process_index, process_count)."""
@@ -66,11 +82,6 @@ def init_runtime(args):
         # Backends init lazily, so this still works after the site hook's
         # early `import jax` (which defeats env-var JAX_PLATFORMS).
         _jax.config.update("jax_platforms", "cpu")
-    # Catch SIGTERMs that land before the epoch driver's PreemptionGuard
-    # (data loading / state init / first compile): remembered via the
-    # process-global flag and honored at the first completed step.
-    from ratio_guided_multimodal_fm_tpu.train.preemption import arm
-    arm()
     from ratio_guided_multimodal_fm_tpu.parallel.multihost import (
         maybe_init_distributed,
     )

@@ -11,6 +11,7 @@ import argparse
 import jax
 
 from ratio_guided_multimodal_fm_tpu.cli.common import (
+    arm_preemption,
     init_runtime,
     wrap_loader,
     add_common_flags,
@@ -55,6 +56,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     init_runtime(args)
+    arm_preemption()   # SIGTERM-safe from startup (train CLIs only)
     set_seed(args.seed)
     print(f"Random seed: {args.seed}")
 

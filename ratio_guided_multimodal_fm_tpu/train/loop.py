@@ -117,11 +117,21 @@ def epoch_data_iter(loader, extract: Callable = lambda b: b):
     """Position-addressed epoch iterator factory for train_epochs: uses
     loader.epoch(e) when available (preemption-resume contract — a
     restarted process must reproduce epoch e's batch order) and maps
-    `extract` over batches (e.g. `lambda b: jnp.asarray(b["x"])`)."""
-    def data_iter(epoch):
+    `extract` over batches (e.g. `lambda b: jnp.asarray(b["x"])`).
+
+    Accepts the driver's resume skip count so skipped batches are never
+    extracted — `extract` is where the host→device transfer (and, multi-
+    process, the global-array assembly) happens, and paying it for
+    hundreds of discarded batches on a tunneled backend is pure waste.
+    (The loader itself still advances through the skipped positions to
+    keep the batch order position-addressed.)
+    """
+    import itertools
+
+    def data_iter(epoch, skip: int = 0):
         it = (loader.epoch(epoch) if hasattr(loader, "epoch")
               else iter(loader))
-        for batch in it:
+        for batch in itertools.islice(it, skip, None):
             yield extract(batch)
     return data_iter
 
@@ -207,6 +217,23 @@ def train_epochs(
             log_fn(f"  -> Preempted: resumable checkpoint at "
                    f"{preempt_path} (epoch {epoch}, step {step_i})")
 
+    # Multi-process runs must AGREE on preemption before acting on it:
+    # with per-process SIGTERM delivery, one process can see the flag a
+    # step earlier than another — the early one would enter the collective
+    # Orbax save (blocking on its peers) while the late one launches the
+    # next step's SPMD program (blocking on the early one's devices):
+    # permanent distributed deadlock. A per-step 1-byte all-gather ORs the
+    # local flags so every process preempts at the SAME step (cost: one
+    # host collective per step, multi-process only).
+    pc = jax.process_count()
+
+    def _agreed_preempt(local: bool) -> bool:
+        if pc == 1:
+            return local
+        from jax.experimental import multihost_utils
+        return bool(np.any(multihost_utils.process_allgather(
+            np.asarray([local]))))
+
     guard_ctx = PreemptionGuard()
     with guard_ctx as guard:
         for epoch in range(start_epoch, epochs):
@@ -217,13 +244,22 @@ def train_epochs(
             carry = dict(start_partial_sums or {}) if restarting else {}
             carry_n = start_partial_count if restarting else 0
             epoch_key = jax.random.fold_in(root_key, epoch)
-            for step_i, batch in enumerate(data_iter_fn(epoch)):
-                if step_i < skip:
+            # Prefer iterators that accept the skip count (epoch_data_iter)
+            # so resume doesn't extract/transfer the skipped batches;
+            # plain (epoch)-only iterators fall back to inline skipping.
+            try:
+                iterator = enumerate(data_iter_fn(epoch, skip), start=skip)
+                inline_skip = 0
+            except TypeError:
+                iterator = enumerate(data_iter_fn(epoch))
+                inline_skip = skip
+            for step_i, batch in iterator:
+                if step_i < inline_skip:
                     continue
                 state, out = train_step(
                     state, batch, jax.random.fold_in(epoch_key, step_i))
                 outs.append(out)
-                if guard.preempted:
+                if _agreed_preempt(guard.preempted):
                     wait_for_saves()
                     sums = _sums(outs)
                     for k, v in carry.items():

@@ -30,6 +30,7 @@ from typing import Iterable
 _flag = threading.Event()
 _depth = 0
 _depth_lock = threading.Lock()
+_prev_handlers: dict = {}
 
 
 def request_preemption() -> None:
@@ -64,31 +65,33 @@ class PreemptionGuard:
 
     def __init__(self, signals: Iterable[int] = (signal.SIGTERM,)):
         self._signals = tuple(signals)
-        self._prev = {}
-        self._outermost = False
 
     def __enter__(self):
         global _depth
         with _depth_lock:
-            self._outermost = _depth == 0
+            if _depth == 0:
+                # Handler bookkeeping lives at MODULE level (not on the
+                # instance): same-instance nesting and non-LIFO exit of
+                # two guards must not restore handlers or clear the flag
+                # while any guard is still active.
+                for s in self._signals:
+                    try:
+                        _prev_handlers[s] = signal.signal(
+                            s, lambda *_: _flag.set())
+                    except ValueError:  # non-main thread: flag-only mode
+                        pass
             _depth += 1
-        if self._outermost:
-            for s in self._signals:
-                try:
-                    self._prev[s] = signal.signal(
-                        s, lambda *_: _flag.set())
-                except ValueError:    # non-main thread: flag-only mode
-                    pass
         return self
 
     def __exit__(self, *exc):
         global _depth
         with _depth_lock:
             _depth -= 1
-        if self._outermost:
-            for s, h in self._prev.items():
-                signal.signal(s, h)
-            _flag.clear()             # consumed by the outermost driver
+            if _depth == 0:
+                for s, h in _prev_handlers.items():
+                    signal.signal(s, h)
+                _prev_handlers.clear()
+                _flag.clear()         # consumed by the last active driver
         return False
 
     @property

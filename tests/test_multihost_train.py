@@ -11,8 +11,10 @@ Asserts:
   metrics, bit-equal);
 * they match a single-process control run over the identical global
   batches (up to cross-device reduction order);
-* only process 0 wrote the checkpoint (train/checkpoint.py gating), and
-  its params match the control run's.
+* the checkpoint write lands once: EVERY process calls save and Orbax
+  coordinates the multi-process write internally (a process-0-only gate
+  deadlocks its barrier — see train/checkpoint.py); restored params
+  match the control run's.
 """
 import os
 import socket
@@ -61,6 +63,38 @@ HEADER = textwrap.dedent("""
     import jax
     jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, {repo!r})
+""")
+
+PREEMPT_WORKER_TAIL = textwrap.dedent("""
+    from ratio_guided_multimodal_fm_tpu.cli.common import multihost_adapt
+    from ratio_guided_multimodal_fm_tpu.parallel.multihost import (
+        maybe_init_distributed)
+    from ratio_guided_multimodal_fm_tpu.train.loop import train_epochs
+    from ratio_guided_multimodal_fm_tpu.train.preemption import (
+        request_preemption)
+
+    assert maybe_init_distributed()
+    state, step = fresh()
+    count = {{"n": 0}}
+
+    def counting(s, x, k):
+        count["n"] += 1
+        if jax.process_index() == 1 and count["n"] == 2:
+            request_preemption()       # the "SIGTERM" hits ONLY process 1
+        return step(s, x, k)
+
+    state, step2, extract = multihost_adapt(state, counting, jnp.asarray)
+
+    def di(e, skip=0):
+        return map(extract, list(data_iter(e))[skip:])
+
+    _, _, hist = train_epochs(state, step2, di, EPOCHS, RNG(7),
+                              preempt_path={ckpt!r},
+                              log_fn=lambda *_: None)
+    rec = hist[-1]
+    print(f"PREEMPT {{jax.process_index()}} "
+          f"{{rec.get('preempted_at_step')}} {{rec.get('epoch')}}",
+          flush=True)
 """)
 
 WORKER = HEADER + COMMON + textwrap.dedent("""
@@ -163,3 +197,56 @@ def test_two_process_dp_training(tmp_path):
         # noise is amplified by Adam's normalizer.
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-3, atol=5e-5)
+
+
+def test_two_process_skewed_preemption_agrees(tmp_path):
+    """The preemption 'signal' reaches ONLY process 1: without cross-
+    process agreement, process 1 would enter the collective Orbax save
+    while process 0 launches the next SPMD step — a permanent distributed
+    deadlock. With the per-step flag all-gather both processes must stop
+    at the SAME step and the coordinated preempt checkpoint must land."""
+    ck = str(tmp_path / "mh_preempt")
+    worker = tmp_path / "worker.py"
+    worker.write_text(
+        (HEADER + COMMON + PREEMPT_WORKER_TAIL).format(
+            repo=REPO, ckpt=ck, h=H, nb=N_BATCHES, bs=BATCH, ep=EPOCHS))
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "RGMF_COORDINATOR": f"127.0.0.1:{port}",
+            "RGMF_NUM_PROCESSES": "2",
+            "RGMF_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    try:
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        outs = [p.communicate()[0] for p in procs]
+        pytest.fail("skewed preemption deadlocked:\n"
+                    + "\n----\n".join(o[-2000:] for o in outs))
+
+    stops = {}
+    for o in outs:
+        lines = [l for l in o.splitlines() if l.startswith("PREEMPT")]
+        assert lines, f"worker output:\n{o[-3000:]}"
+        _, pi, at_step, epoch = lines[0].split()
+        stops[int(pi)] = (at_step, epoch)
+    assert stops[0] == stops[1] == ("2", "1")   # same step on BOTH
+    assert os.path.isdir(ck)                    # coordinated save landed
+    from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
+        load_checkpoint,
+    )
+    saved = load_checkpoint(ck)
+    assert int(saved["step"]) == 2 and int(saved["epoch"]) == 0

@@ -264,6 +264,33 @@ def test_generic_driver_ratio_preempt_resume(tmp_path):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_skips_extract():
+    """On resume, skipped batches must not be extracted (extract is where
+    the host→device transfer lives — paying it for discarded batches on a
+    tunneled backend was pure waste)."""
+    from ratio_guided_multimodal_fm_tpu.train.loop import (
+        epoch_data_iter,
+        train_epochs,
+    )
+
+    class L:
+        def epoch(self, e):
+            rng = np.random.RandomState(300 + e)
+            return iter([rng.randn(4, H, H, 1).astype(np.float32)
+                         for _ in range(N_BATCHES)])
+
+    calls = {"n": 0}
+
+    def extract(b):
+        calls["n"] += 1
+        return jnp.asarray(b)
+
+    state, step = _fresh()
+    train_epochs(state, step, epoch_data_iter(L(), extract), 1, RNG(3),
+                 start_step=2, log_fn=lambda *_: None)
+    assert calls["n"] == N_BATCHES - 2
+
+
 def test_resume_preserves_early_stop_state(tmp_path):
     """The preempt checkpoint carries best_loss + patience_counter so a
     resumed run can't overwrite the saved best model with a worse one."""
