@@ -17,3 +17,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "multiprocess: spawns REAL extra Python processes (jax.distributed"
+        " + gloo); the slowest tests — deselect with -m 'not multiprocess'"
+        " for a quick pass")

@@ -64,6 +64,7 @@ def test_process_batch_slice_requires_divisibility():
         process_batch_slice({"x": np.zeros((10, 2))}, 0, 3)
 
 
+@pytest.mark.multiprocess
 def test_two_process_global_batch_assembly(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER.format(repo=REPO))

@@ -104,6 +104,7 @@ def _single_device_readback():
     return float(jnp.vdot(sx, w)), float(jnp.vdot(sy, w))
 
 
+@pytest.mark.multiprocess
 def test_two_process_mc_sharded_guidance(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER.format(

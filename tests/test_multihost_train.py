@@ -138,6 +138,7 @@ def _control():
     return state, {h["epoch"]: h["loss"] for h in hist}
 
 
+@pytest.mark.multiprocess
 def test_two_process_dp_training(tmp_path):
     ck = str(tmp_path / "mh_ckpt")
     worker = tmp_path / "worker.py"
@@ -199,6 +200,7 @@ def test_two_process_dp_training(tmp_path):
                                    rtol=1e-3, atol=5e-5)
 
 
+@pytest.mark.multiprocess
 def test_two_process_skewed_preemption_agrees(tmp_path):
     """The preemption 'signal' reaches ONLY process 1: without cross-
     process agreement, process 1 would enter the collective Orbax save
