@@ -1,0 +1,247 @@
+"""Weight-level parity: import reference torch checkpoints and assert the
+Flax models produce the SAME outputs as the reference's own torch models.
+
+This is the strongest parity evidence in the repo: the golden curve
+(docs/PARITY.md) establishes *statistical* equivalence of independently
+trained runs; these tests establish *functional* equivalence — identical
+weights -> identical outputs — for every reference model family, driving
+the actual reference code at /root/reference as a black box.
+
+Tolerances: the only intended numerical difference is the normalization
+epsilon convention (torch GroupNorm/LayerNorm eps=1e-5, flax default
+1e-6; BatchNorm is 1e-5 in both). That shifts rsqrt(var+eps) by
+~4.5e-6/var per layer — so pure-BN models match to ~1e-5 and GN/LN
+models to ~1e-3 on O(1) outputs. A wrong weight mapping produces O(1)
+errors; the asserts below would catch any transposition/permutation slip.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir(os.path.join(REF, "src", "models")):
+    pytest.skip("reference checkout not available", allow_module_level=True)
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ratio_guided_multimodal_fm_tpu.interop import import_state_dict  # noqa: E402
+
+
+def _nhwc(x: "torch.Tensor") -> jnp.ndarray:
+    return jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+
+
+def _max_err(a, b) -> float:
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.max(np.abs(a - b)))
+
+
+def _seeded(model: "torch.nn.Module") -> "torch.nn.Module":
+    """Default torch init, eval mode, deterministic seed."""
+    model.eval()
+    return model
+
+
+@pytest.fixture(autouse=True)
+def _torch_seed():
+    torch.manual_seed(1234)
+
+
+def test_unet_mnist28_output_equivalence():
+    from src.models.unet_flexible import FlowMatchingUNetMNIST as TorchNet
+
+    from ratio_guided_multimodal_fm_tpu.models import FlowMatchingUNetMNIST
+
+    tm = _seeded(TorchNet(img_size=28))
+    x = torch.randn(2, 1, 28, 28)
+    t = torch.rand(2)
+    with torch.no_grad():
+        ref = tm(x, t).numpy()
+
+    variables = import_state_dict(tm.state_dict(), "unet_mnist")
+    net = FlowMatchingUNetMNIST(img_size=28)
+    out = net.apply({"params": variables["params"]}, _nhwc(x),
+                    jnp.asarray(t.numpy()))
+    got = np.asarray(out).transpose(0, 3, 1, 2)
+    assert _max_err(got, ref) < 2e-3, _max_err(got, ref)
+
+
+def test_unet_svhn_output_equivalence_and_split_skip():
+    from src.models.unet_flexible import FlowMatchingUNetSVHN as TorchNet
+
+    from ratio_guided_multimodal_fm_tpu.models import FlowMatchingUNetSVHN
+
+    tm = _seeded(TorchNet())
+    x = torch.randn(2, 3, 32, 32)
+    t = torch.rand(2)
+    with torch.no_grad():
+        ref = tm(x, t).numpy()
+
+    variables = import_state_dict(tm.state_dict(), "unet_svhn")
+    for split_skip in (True, False):   # both decoder formulations
+        net = FlowMatchingUNetSVHN(split_skip=split_skip)
+        out = net.apply({"params": variables["params"]}, _nhwc(x),
+                        jnp.asarray(t.numpy()))
+        got = np.asarray(out).transpose(0, 3, 1, 2)
+        assert _max_err(got, ref) < 2e-3, (split_skip, _max_err(got, ref))
+
+
+def test_unet_accepts_full_train_dict():
+    """Dual-format: the reference saves {'model_state_dict': ...} full dicts
+    (train_flow_svhn.py:165-170); import must unwrap them."""
+    from src.models.unet_flexible import FlowMatchingUNetMNIST as TorchNet
+
+    tm = _seeded(TorchNet(img_size=32))
+    full = {"epoch": 3, "model_state_dict": tm.state_dict(),
+            "best_loss": 0.5}
+    variables = import_state_dict(full, "unet_mnist")
+    assert "time_dense1" in variables["params"]
+
+
+def test_flow_matching_model_output_equivalence():
+    from src.models.flow_matching import FlowMatchingModel as TorchNet
+
+    from ratio_guided_multimodal_fm_tpu.models import FlowMatchingModel
+
+    tm = _seeded(TorchNet())
+    x = torch.randn(2, 1, 28, 28)
+    t = torch.rand(2)
+    with torch.no_grad():
+        ref = tm(x, t).numpy()
+
+    variables = import_state_dict(tm.state_dict(), "fm_original")
+    net = FlowMatchingModel()
+    out = net.apply({"params": variables["params"]}, _nhwc(x),
+                    jnp.asarray(t.numpy()))
+    got = np.asarray(out).transpose(0, 3, 1, 2)
+    assert _max_err(got, ref) < 2e-3, _max_err(got, ref)
+
+
+def test_ratio_estimator_exp1_output_equivalence():
+    from src.models.ratio_estimator import RatioEstimator as TorchNet
+
+    from ratio_guided_multimodal_fm_tpu.models import RatioEstimator
+
+    tm = _seeded(TorchNet())
+    x = torch.randn(2, 1, 28, 28)
+    y = torch.randn(2, 1, 28, 28)
+    with torch.no_grad():
+        ref_scores = tm(x, y).numpy()
+        ref_logr = tm.log_ratio(x, y).numpy()
+
+    variables = import_state_dict(tm.state_dict(), "ratio")
+    net = RatioEstimator(loss_type="disc")
+    scores = net.apply({"params": variables["params"]}, _nhwc(x), _nhwc(y))
+    logr = net.apply({"params": variables["params"]}, _nhwc(x), _nhwc(y),
+                     method=net.log_ratio)
+    assert _max_err(scores, ref_scores) < 2e-3
+    assert _max_err(logr, ref_logr) < 2e-3
+
+
+def test_ratio_mnist_svhn_output_equivalence():
+    from src.models.ratio_flexible import RatioEstimatorMNISTSVHN as TorchNet
+
+    from ratio_guided_multimodal_fm_tpu.models import RatioEstimatorMNISTSVHN
+
+    tm = _seeded(TorchNet())
+    # push the BN running stats off the fresh-init (0,1) point so the test
+    # actually exercises the imported batch_stats
+    with torch.no_grad():
+        tm.train()
+        for _ in range(3):
+            tm(torch.randn(8, 1, 32, 32) * 2 + 0.3,
+               torch.randn(8, 3, 32, 32) * 0.5 - 0.1)
+        tm.eval()
+
+    x = torch.randn(2, 1, 32, 32)
+    y = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        ref_scores = tm(x, y).numpy()
+
+    variables = import_state_dict(tm.state_dict(), "ratio_mnist_svhn")
+    net = RatioEstimatorMNISTSVHN()
+    scores = net.apply({"params": variables["params"],
+                        "batch_stats": variables["batch_stats"]},
+                       _nhwc(x), _nhwc(y))
+    assert _max_err(scores, ref_scores) < 2e-3, _max_err(scores, ref_scores)
+
+
+def test_classifiers_output_equivalence():
+    from src.models.classifier import MNISTClassifier as TorchM28
+    from src.models.svhn_classifier import (
+        MNISTClassifier32 as TorchM32,
+        SVHNClassifier as TorchSVHN,
+    )
+
+    from ratio_guided_multimodal_fm_tpu.models import (
+        MNISTClassifier,
+        MNISTClassifier32,
+        SVHNClassifier,
+    )
+
+    # MNIST-28
+    tm = _seeded(TorchM28())
+    x = torch.randn(2, 1, 28, 28)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+    v = import_state_dict(tm.state_dict(), "classifier_mnist")
+    got = MNISTClassifier().apply({"params": v["params"]}, _nhwc(x))
+    assert _max_err(got, ref) < 1e-4, _max_err(got, ref)
+
+    # MNIST-32
+    tm = _seeded(TorchM32())
+    x = torch.randn(2, 1, 32, 32)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+    v = import_state_dict(tm.state_dict(), "classifier_mnist32")
+    got = MNISTClassifier32().apply({"params": v["params"]}, _nhwc(x))
+    assert _max_err(got, ref) < 1e-4, _max_err(got, ref)
+
+    # SVHN (BatchNorm; same eps both frameworks -> tight tolerance)
+    tm = _seeded(TorchSVHN())
+    with torch.no_grad():
+        tm.train()
+        for _ in range(3):
+            tm(torch.randn(8, 3, 32, 32))
+        tm.eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+    v = import_state_dict(tm.state_dict(), "classifier_svhn")
+    got = SVHNClassifier().apply(
+        {"params": v["params"], "batch_stats": v["batch_stats"]}, _nhwc(x))
+    assert _max_err(got, ref) < 1e-3, _max_err(got, ref)
+
+
+def test_imported_tree_matches_init_structure():
+    """The converted tree must be structurally identical to a fresh init
+    (same key paths, same shapes) so it drops into every train/sample/eval
+    entry point unchanged — this is what load_params validates at load."""
+    from src.models.unet_flexible import FlowMatchingUNetSVHN as TorchNet
+
+    from ratio_guided_multimodal_fm_tpu.models import FlowMatchingUNetSVHN
+
+    tm = _seeded(TorchNet())
+    variables = import_state_dict(tm.state_dict(), "unet_svhn")
+
+    net = FlowMatchingUNetSVHN()
+    init = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                    jnp.zeros((1,)))["params"]
+
+    got = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    want = jax.tree_util.tree_flatten_with_path(init)[0]
+    got_map = {jax.tree_util.keystr(k): v.shape for k, v in got}
+    want_map = {jax.tree_util.keystr(k): tuple(v.shape) for k, v in want}
+    assert got_map.keys() == want_map.keys()
+    for k in want_map:
+        assert tuple(got_map[k]) == want_map[k], k
