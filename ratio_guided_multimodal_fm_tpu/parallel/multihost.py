@@ -72,6 +72,20 @@ def maybe_init_distributed(
         num_processes=num_processes,
         process_id=process_id,
     )
+    # Establish the cross-process collective context NOW, while the
+    # processes are still in lockstep from the initialize() rendezvous.
+    # The context is created lazily at the FIRST collective, with a hard
+    # ~30s rendezvous timeout (gloo GetKeyValue) — and the first collective
+    # otherwise happens deep inside the program (e.g. jax.device_put onto a
+    # replicated sharding runs multihost_utils.assert_equal), AFTER each
+    # process's jit compiles. Compile-time skew between processes easily
+    # exceeds 30s under load, so the lazy init times out
+    # ("Gloo context initialization failed: DEADLINE_EXCEEDED", observed
+    # 2026-08-18 under a concurrent bench). A barrier here pins the
+    # context creation to a point where skew is milliseconds.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("rgmf:multihost_init")
     _initialized = True
     return True
 
