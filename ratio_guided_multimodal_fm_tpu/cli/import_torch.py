@@ -29,11 +29,12 @@ import argparse
 import os
 import sys
 
+import jax
+
 from ratio_guided_multimodal_fm_tpu.interop import (
     TORCH_IMPORTERS,
     import_state_dict,
 )
-from ratio_guided_multimodal_fm_tpu.train.checkpoint import save_checkpoint
 
 
 def main(argv=None):
@@ -47,7 +48,17 @@ def main(argv=None):
                    help="reference model family of the checkpoint")
     p.add_argument("--out", type=str, required=True,
                    help="output Orbax checkpoint directory")
+    p.add_argument("--unsafe_pickle", action="store_true",
+                   help="allow full-pickle .pth files (whole nn.Module "
+                        "pickles). Default loads with weights_only=True, "
+                        "which covers state_dicts and the reference's train "
+                        "dicts without executing pickled code")
     args = p.parse_args(argv)
+
+    # Pure host-side conversion — never let the Orbax save initialize an
+    # accelerator backend (on the axon tunnel that would claim the single
+    # TPU chip and can wedge a concurrent job).
+    jax.config.update("jax_platforms", "cpu")
 
     try:
         import torch
@@ -56,14 +67,17 @@ def main(argv=None):
               "(CPU build is enough)", file=sys.stderr)
         return 2
 
+    from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
+        save_checkpoint,
+    )
+
     sd = torch.load(args.torch_checkpoint, map_location="cpu",
-                    weights_only=False)
+                    weights_only=not args.unsafe_pickle)
     if hasattr(sd, "state_dict"):            # a whole nn.Module was pickled
         sd = sd.state_dict()
     variables = import_state_dict(sd, args.model)
 
-    n = sum(v.size for v in __import__("jax").tree_util.tree_leaves(
-        variables["params"]))
+    n = sum(v.size for v in jax.tree_util.tree_leaves(variables["params"]))
     out = os.path.abspath(args.out)
     save_checkpoint(out, variables if "batch_stats" in variables
                     else variables["params"])

@@ -20,11 +20,13 @@ class _Encoder(nn.Module):
     feature_dim: int = 256
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    norm_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        gn = lambda c, n: nn.GroupNorm(num_groups=8, name=n, **kw)
+        gn = lambda c, n: nn.GroupNorm(num_groups=8, name=n,
+                                       epsilon=self.norm_eps, **kw)
         x = nn.silu(gn(32, "gn1")(nn.Conv(32, (3, 3), padding=1, name="conv1", **kw)(x)))
         x = nn.silu(gn(64, "gn2")(nn.Conv(64, (3, 3), (2, 2), padding=1, name="conv2", **kw)(x)))
         x = nn.silu(gn(128, "gn3")(nn.Conv(128, (3, 3), (2, 2), padding=1, name="conv3", **kw)(x)))
@@ -39,11 +41,13 @@ class _Decoder(nn.Module):
     out_channels: int = 1
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    norm_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, features, t_emb):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        gn = lambda n: nn.GroupNorm(num_groups=8, name=n, **kw)
+        gn = lambda n: nn.GroupNorm(num_groups=8, name=n,
+                                    epsilon=self.norm_eps, **kw)
         x = jnp.concatenate([features, t_emb], axis=-1)
         x = nn.Dense(256 * 7 * 7, name="fc1", **kw)(x)
         x = x.reshape(x.shape[0], 7, 7, 256)
@@ -63,11 +67,14 @@ class FlowMatchingModel(nn.Module):
     time_emb_dim: int = 128
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # 1e-6 = flax convention (default); 1e-5 matches torch exactly for
+    # imported reference checkpoints (interop/torch_import.py).
+    norm_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array, *, deterministic: bool = True):
         t_emb = sinusoidal_embedding(t, self.time_emb_dim).astype(self.dtype)
         feats = _Encoder(self.feature_dim, self.dtype, self.param_dtype,
-                         name="encoder")(x.astype(self.dtype))
+                         self.norm_eps, name="encoder")(x.astype(self.dtype))
         return _Decoder(self.img_channels, self.dtype, self.param_dtype,
-                        name="decoder")(feats, t_emb)
+                        self.norm_eps, name="decoder")(feats, t_emb)

@@ -71,9 +71,15 @@ def sinusoidal_embedding(t: jax.Array, dim: int) -> jax.Array:
     return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
 
 
-def group_norm(ch: int, *, dtype=jnp.float32, param_dtype=jnp.float32) -> nn.GroupNorm:
-    """GroupNorm(min(8, ch)) as used throughout the reference U-Nets."""
-    return nn.GroupNorm(num_groups=min(8, ch), dtype=dtype, param_dtype=param_dtype)
+def group_norm(ch: int, *, dtype=jnp.float32, param_dtype=jnp.float32,
+               epsilon: float = 1e-6) -> nn.GroupNorm:
+    """GroupNorm(min(8, ch)) as used throughout the reference U-Nets.
+
+    epsilon: flax convention 1e-6 (the framework default, every round-1..3
+    artifact was measured with it); pass 1e-5 to match torch's nn.GroupNorm
+    exactly (bit-matching imported reference checkpoints — interop/)."""
+    return nn.GroupNorm(num_groups=min(8, ch), dtype=dtype,
+                        param_dtype=param_dtype, epsilon=epsilon)
 
 
 class FusedGroupNorm(nn.Module):
@@ -100,7 +106,10 @@ class FusedGroupNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (C,),
                           self.param_dtype)
         if (self.fuse_silu and x.ndim == 4 and C % self.num_groups == 0
-                and _use_pallas_gn()):
+                and _use_pallas_gn() and self.epsilon == 1e-6):
+            # the Pallas kernel hardcodes eps=1e-6; non-default epsilons
+            # (e.g. the torch-exact 1e-5 used by interop tests) take the
+            # XLA path below rather than silently changing numerics
             from ratio_guided_multimodal_fm_tpu.ops.groupnorm_pallas import (
                 group_norm_silu,
             )
@@ -124,13 +133,13 @@ class FusedGroupNorm(nn.Module):
 
 
 def gn_silu(ch: int, *, dtype=jnp.float32, param_dtype=jnp.float32,
-            name: str) -> FusedGroupNorm:
+            name: str, epsilon: float = 1e-6) -> FusedGroupNorm:
     """GroupNorm(min(8,ch)) followed by SiLU, fused where profitable.
     `name` is required so the param path matches the legacy nn.GroupNorm
-    auto-name at each call site."""
+    auto-name at each call site. epsilon: see group_norm."""
     return FusedGroupNorm(num_groups=min(8, ch), dtype=dtype,
                           param_dtype=param_dtype, fuse_silu=True,
-                          name=name)
+                          name=name, epsilon=epsilon)
 
 
 class _SplitGNSiLU(nn.Module):
@@ -235,6 +244,9 @@ class ResBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # 1e-6 = flax convention (framework default, all shipped artifacts);
+    # 1e-5 matches torch exactly for imported reference checkpoints.
+    norm_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x: jax.Array, t_emb: jax.Array, *,
@@ -247,14 +259,15 @@ class ResBlock(nn.Module):
             # auto-names so round-1/2 checkpoints load unchanged
             h = gn_silu(in_ch, dtype=self.dtype,
                         param_dtype=self.param_dtype,
-                        name="GroupNorm_0")(x)
+                        name="GroupNorm_0", epsilon=self.norm_eps)(x)
             h = nn.Conv(self.out_channels, (3, 3), padding=1,
                         dtype=self.dtype, param_dtype=self.param_dtype,
                         name="conv1")(h)
         else:
             a_n, b_n = _SplitGNSiLU(min(8, in_ch), dtype=self.dtype,
                                     param_dtype=self.param_dtype,
-                                    name="GroupNorm_0")(x, skip_in)
+                                    name="GroupNorm_0",
+                                    epsilon=self.norm_eps)(x, skip_in)
             h = _SplitConv(self.out_channels, (3, 3), dtype=self.dtype,
                            param_dtype=self.param_dtype,
                            name="conv1")(a_n, b_n)
@@ -264,7 +277,8 @@ class ResBlock(nn.Module):
         h = h + t[:, None, None, :]
 
         h = gn_silu(self.out_channels, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="GroupNorm_1")(h)
+                    param_dtype=self.param_dtype, name="GroupNorm_1",
+                    epsilon=self.norm_eps)(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv2")(h)

@@ -38,12 +38,14 @@ class _GNEncoder(nn.Module):
     feature_dim: int = 256
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    norm_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         pool = lambda h: nn.max_pool(h, (2, 2), strides=(2, 2))
-        gn = lambda n: nn.GroupNorm(num_groups=8, name=n, **kw)
+        gn = lambda n: nn.GroupNorm(num_groups=8, name=n,
+                                    epsilon=self.norm_eps, **kw)
         x = pool(nn.silu(gn("gn1")(nn.Conv(32, (3, 3), padding=1, name="conv1", **kw)(x))))
         x = pool(nn.silu(gn("gn2")(nn.Conv(64, (3, 3), padding=1, name="conv2", **kw)(x))))
         x = pool(nn.silu(gn("gn3")(nn.Conv(128, (3, 3), padding=1, name="conv3", **kw)(x))))
@@ -59,16 +61,18 @@ class _ScoreMLP(nn.Module):
     hidden_dim: int = 512
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    norm_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, z, *, deterministic: bool = True):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        ln_kw = dict(epsilon=self.norm_eps, **kw)
         z = nn.Dense(self.hidden_dim, name="fc1", **kw)(z)
-        z = nn.LayerNorm(name="ln1", **kw)(z)
+        z = nn.LayerNorm(name="ln1", **ln_kw)(z)
         z = nn.silu(z)
         z = nn.Dropout(0.1, deterministic=deterministic)(z)
         z = nn.Dense(self.hidden_dim // 2, name="fc2", **kw)(z)
-        z = nn.LayerNorm(name="ln2", **kw)(z)
+        z = nn.LayerNorm(name="ln2", **ln_kw)(z)
         z = nn.silu(z)
         z = nn.Dropout(0.1, deterministic=deterministic)(z)
         return nn.Dense(1, name="fc3", **kw)(z)
@@ -84,11 +88,15 @@ class FlexibleRatioEstimator(nn.Module):
     loss_type: str = "disc"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # 1e-6 = flax convention (default); 1e-5 matches torch exactly for
+    # imported reference checkpoints (interop/torch_import.py).
+    norm_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x, y, *, deterministic: bool = True):
         """Returns scores T(x,y): [B]."""
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  norm_eps=self.norm_eps)
         fx = _GNEncoder(self.feature_dim, name="encoder_x", **kw)(x.astype(self.dtype))
         fy = _GNEncoder(self.feature_dim, name="encoder_y", **kw)(y.astype(self.dtype))
         z = jnp.concatenate([fx, fy], axis=-1)
@@ -157,18 +165,20 @@ class _DeepScoreMLP(nn.Module):
     hidden_dim: int = 512
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    norm_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, z, *, deterministic: bool = True):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        ln_kw = dict(epsilon=self.norm_eps, **kw)
         z = nn.Dense(self.hidden_dim, name="fc1", **kw)(z)
-        z = nn.silu(nn.LayerNorm(name="ln1", **kw)(z))
+        z = nn.silu(nn.LayerNorm(name="ln1", **ln_kw)(z))
         z = nn.Dropout(0.1, deterministic=deterministic)(z)
         z = nn.Dense(self.hidden_dim, name="fc2", **kw)(z)
-        z = nn.silu(nn.LayerNorm(name="ln2", **kw)(z))
+        z = nn.silu(nn.LayerNorm(name="ln2", **ln_kw)(z))
         z = nn.Dropout(0.1, deterministic=deterministic)(z)
         z = nn.Dense(self.hidden_dim // 2, name="fc3", **kw)(z)
-        z = nn.silu(nn.LayerNorm(name="ln3", **kw)(z))
+        z = nn.silu(nn.LayerNorm(name="ln3", **ln_kw)(z))
         return nn.Dense(1, name="fc4", **kw)(z)
 
 
@@ -184,6 +194,9 @@ class RatioEstimatorMNISTSVHN(nn.Module):
     loss_type: str = "disc"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # Only the score-net LayerNorms use this (BatchNorm eps is 1e-5 in
+    # both frameworks already); 1e-5 matches torch exactly.
+    norm_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x, y, *, train: bool = False, deterministic: bool = True):
@@ -193,7 +206,8 @@ class RatioEstimatorMNISTSVHN(nn.Module):
         fs = _SVHNEncoderBN(self.feature_dim, name="encoder_svhn", **kw)(
             y.astype(self.dtype), train=train)
         z = jnp.concatenate([fm, fs], axis=-1)
-        s = _DeepScoreMLP(self.hidden_dim, name="score_net", **kw)(
+        s = _DeepScoreMLP(self.hidden_dim, name="score_net",
+                          norm_eps=self.norm_eps, **kw)(
             z, deterministic=deterministic)
         return s.squeeze(-1)
 

@@ -52,6 +52,10 @@ class FlexibleUNet(nn.Module):
     # (docs/results_r3/opt_experiment.json): headline sampler 202 → 222.6
     # samples/s. Default ON; False restores the concat graph.
     split_skip: bool = True
+    # Normalization epsilon: 1e-6 = flax convention (framework default,
+    # all shipped artifacts); 1e-5 matches torch's nn.GroupNorm exactly —
+    # use for bit-matching imported reference checkpoints (interop/).
+    norm_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array, *, deterministic: bool = True):
@@ -76,6 +80,7 @@ class FlexibleUNet(nn.Module):
             for _ in range(self.num_res_blocks):
                 h = ResBlock(out_ch, self.dropout, dtype=self.dtype,
                              param_dtype=self.param_dtype,
+                             norm_eps=self.norm_eps,
                              name=f"enc_{blk}")(h, t_emb, deterministic=deterministic)
                 hs.append(h)
                 blk += 1
@@ -86,10 +91,10 @@ class FlexibleUNet(nn.Module):
 
         # Middle
         h = ResBlock(h.shape[-1], self.dropout, dtype=self.dtype,
-                     param_dtype=self.param_dtype,
+                     param_dtype=self.param_dtype, norm_eps=self.norm_eps,
                      name="middle_1")(h, t_emb, deterministic=deterministic)
         h = ResBlock(h.shape[-1], self.dropout, dtype=self.dtype,
-                     param_dtype=self.param_dtype,
+                     param_dtype=self.param_dtype, norm_eps=self.norm_eps,
                      name="middle_2")(h, t_emb, deterministic=deterministic)
 
         # Decoder
@@ -100,6 +105,7 @@ class FlexibleUNet(nn.Module):
                 skip = hs.pop()
                 rb = ResBlock(out_ch, self.dropout, dtype=self.dtype,
                               param_dtype=self.param_dtype,
+                              norm_eps=self.norm_eps,
                               name=f"dec_{blk}")
                 if self.split_skip:
                     h = rb(h, t_emb, skip_in=skip,
@@ -113,7 +119,8 @@ class FlexibleUNet(nn.Module):
                              name=f"up_{rev_idx}")(h)
 
         h = gn_silu(h.shape[-1], dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="GroupNorm_0")(h)
+                    param_dtype=self.param_dtype, name="GroupNorm_0",
+                    epsilon=self.norm_eps)(h)
         h = nn.Conv(self.in_channels, (3, 3), padding=1,
                     kernel_init=nn.initializers.zeros,
                     bias_init=nn.initializers.zeros,

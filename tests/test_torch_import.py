@@ -7,12 +7,18 @@ trained runs; these tests establish *functional* equivalence — identical
 weights -> identical outputs — for every reference model family, driving
 the actual reference code at /root/reference as a black box.
 
-Tolerances: the only intended numerical difference is the normalization
-epsilon convention (torch GroupNorm/LayerNorm eps=1e-5, flax default
-1e-6; BatchNorm is 1e-5 in both). That shifts rsqrt(var+eps) by
-~4.5e-6/var per layer — so pure-BN models match to ~1e-5 and GN/LN
-models to ~1e-3 on O(1) outputs. A wrong weight mapping produces O(1)
-errors; the asserts below would catch any transposition/permutation slip.
+Two tolerance regimes:
+* `norm_eps=1e-5` (torch's GroupNorm/LayerNorm epsilon): the conversion
+  is EXACT — asserts at ~1e-4, residual is f32 accumulation order only
+  (measured 6e-6 on O(6) U-Net outputs).
+* framework-default `norm_eps=1e-6` (flax convention, what the CLIs
+  build): asserts <2e-3 — the documented epsilon-convention delta, so a
+  future mapping regression bigger than the eps noise floor still fails.
+
+Gotcha encoded below: the reference U-Nets ZERO-INITIALIZE out_conv
+(unet_flexible.py:199-201), so a fresh-init U-Net outputs exactly 0 for
+any input — comparing fresh models proves nothing about the interior.
+The U-Net tests perturb out_conv first.
 """
 from __future__ import annotations
 
@@ -35,6 +41,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from ratio_guided_multimodal_fm_tpu.interop import import_state_dict  # noqa: E402
 
+TORCH_EPS = 1e-5    # torch GN/LN epsilon -> exact conversion
+
 
 def _nhwc(x: "torch.Tensor") -> jnp.ndarray:
     return jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
@@ -46,10 +54,12 @@ def _max_err(a, b) -> float:
     return float(np.max(np.abs(a - b)))
 
 
-def _seeded(model: "torch.nn.Module") -> "torch.nn.Module":
-    """Default torch init, eval mode, deterministic seed."""
-    model.eval()
-    return model
+def _unzero_out_conv(tm: "torch.nn.Module") -> None:
+    """The reference zero-inits out_conv — a fresh U-Net outputs exactly 0,
+    which would make output comparison vacuous. Give it real weights."""
+    with torch.no_grad():
+        tm.out_conv.weight.normal_(0, 0.1)
+        tm.out_conv.bias.normal_(0, 0.1)
 
 
 @pytest.fixture(autouse=True)
@@ -62,18 +72,27 @@ def test_unet_mnist28_output_equivalence():
 
     from ratio_guided_multimodal_fm_tpu.models import FlowMatchingUNetMNIST
 
-    tm = _seeded(TorchNet(img_size=28))
+    tm = TorchNet(img_size=28).eval()
+    _unzero_out_conv(tm)
     x = torch.randn(2, 1, 28, 28)
     t = torch.rand(2)
     with torch.no_grad():
         ref = tm(x, t).numpy()
+    assert np.abs(ref).max() > 0.1          # comparison is not vacuous
 
     variables = import_state_dict(tm.state_dict(), "unet_mnist")
-    net = FlowMatchingUNetMNIST(img_size=28)
+    net = FlowMatchingUNetMNIST(img_size=28, norm_eps=TORCH_EPS)
     out = net.apply({"params": variables["params"]}, _nhwc(x),
                     jnp.asarray(t.numpy()))
     got = np.asarray(out).transpose(0, 3, 1, 2)
-    assert _max_err(got, ref) < 2e-3, _max_err(got, ref)
+    assert _max_err(got, ref) < 1e-4, _max_err(got, ref)    # exact
+
+    # framework-default epsilon (what the CLIs build): the documented
+    # torch-1e-5 vs flax-1e-6 convention delta, and nothing more
+    net_d = FlowMatchingUNetMNIST(img_size=28)
+    got_d = np.asarray(net_d.apply({"params": variables["params"]},
+                                   _nhwc(x), jnp.asarray(t.numpy())))
+    assert _max_err(got_d.transpose(0, 3, 1, 2), ref) < 2e-3
 
 
 def test_unet_svhn_output_equivalence_and_split_skip():
@@ -81,19 +100,21 @@ def test_unet_svhn_output_equivalence_and_split_skip():
 
     from ratio_guided_multimodal_fm_tpu.models import FlowMatchingUNetSVHN
 
-    tm = _seeded(TorchNet())
+    tm = TorchNet().eval()
+    _unzero_out_conv(tm)
     x = torch.randn(2, 3, 32, 32)
     t = torch.rand(2)
     with torch.no_grad():
         ref = tm(x, t).numpy()
+    assert np.abs(ref).max() > 0.1
 
     variables = import_state_dict(tm.state_dict(), "unet_svhn")
     for split_skip in (True, False):   # both decoder formulations
-        net = FlowMatchingUNetSVHN(split_skip=split_skip)
+        net = FlowMatchingUNetSVHN(split_skip=split_skip, norm_eps=TORCH_EPS)
         out = net.apply({"params": variables["params"]}, _nhwc(x),
                         jnp.asarray(t.numpy()))
         got = np.asarray(out).transpose(0, 3, 1, 2)
-        assert _max_err(got, ref) < 2e-3, (split_skip, _max_err(got, ref))
+        assert _max_err(got, ref) < 1e-4, (split_skip, _max_err(got, ref))
 
 
 def test_unet_accepts_full_train_dict():
@@ -101,7 +122,7 @@ def test_unet_accepts_full_train_dict():
     (train_flow_svhn.py:165-170); import must unwrap them."""
     from src.models.unet_flexible import FlowMatchingUNetMNIST as TorchNet
 
-    tm = _seeded(TorchNet(img_size=32))
+    tm = TorchNet(img_size=32).eval()
     full = {"epoch": 3, "model_state_dict": tm.state_dict(),
             "best_loss": 0.5}
     variables = import_state_dict(full, "unet_mnist")
@@ -113,18 +134,19 @@ def test_flow_matching_model_output_equivalence():
 
     from ratio_guided_multimodal_fm_tpu.models import FlowMatchingModel
 
-    tm = _seeded(TorchNet())
+    tm = TorchNet().eval()
     x = torch.randn(2, 1, 28, 28)
     t = torch.rand(2)
     with torch.no_grad():
         ref = tm(x, t).numpy()
+    assert np.abs(ref).max() > 0.01         # conv_out is NOT zero-init here
 
     variables = import_state_dict(tm.state_dict(), "fm_original")
-    net = FlowMatchingModel()
+    net = FlowMatchingModel(norm_eps=TORCH_EPS)
     out = net.apply({"params": variables["params"]}, _nhwc(x),
                     jnp.asarray(t.numpy()))
     got = np.asarray(out).transpose(0, 3, 1, 2)
-    assert _max_err(got, ref) < 2e-3, _max_err(got, ref)
+    assert _max_err(got, ref) < 1e-4, _max_err(got, ref)
 
 
 def test_ratio_estimator_exp1_output_equivalence():
@@ -132,7 +154,7 @@ def test_ratio_estimator_exp1_output_equivalence():
 
     from ratio_guided_multimodal_fm_tpu.models import RatioEstimator
 
-    tm = _seeded(TorchNet())
+    tm = TorchNet().eval()
     x = torch.randn(2, 1, 28, 28)
     y = torch.randn(2, 1, 28, 28)
     with torch.no_grad():
@@ -140,12 +162,12 @@ def test_ratio_estimator_exp1_output_equivalence():
         ref_logr = tm.log_ratio(x, y).numpy()
 
     variables = import_state_dict(tm.state_dict(), "ratio")
-    net = RatioEstimator(loss_type="disc")
+    net = RatioEstimator(loss_type="disc", norm_eps=TORCH_EPS)
     scores = net.apply({"params": variables["params"]}, _nhwc(x), _nhwc(y))
     logr = net.apply({"params": variables["params"]}, _nhwc(x), _nhwc(y),
                      method=net.log_ratio)
-    assert _max_err(scores, ref_scores) < 2e-3
-    assert _max_err(logr, ref_logr) < 2e-3
+    assert _max_err(scores, ref_scores) < 1e-4
+    assert _max_err(logr, ref_logr) < 1e-4
 
 
 def test_ratio_mnist_svhn_output_equivalence():
@@ -153,7 +175,7 @@ def test_ratio_mnist_svhn_output_equivalence():
 
     from ratio_guided_multimodal_fm_tpu.models import RatioEstimatorMNISTSVHN
 
-    tm = _seeded(TorchNet())
+    tm = TorchNet()
     # push the BN running stats off the fresh-init (0,1) point so the test
     # actually exercises the imported batch_stats
     with torch.no_grad():
@@ -169,11 +191,11 @@ def test_ratio_mnist_svhn_output_equivalence():
         ref_scores = tm(x, y).numpy()
 
     variables = import_state_dict(tm.state_dict(), "ratio_mnist_svhn")
-    net = RatioEstimatorMNISTSVHN()
+    net = RatioEstimatorMNISTSVHN(norm_eps=TORCH_EPS)
     scores = net.apply({"params": variables["params"],
                         "batch_stats": variables["batch_stats"]},
                        _nhwc(x), _nhwc(y))
-    assert _max_err(scores, ref_scores) < 2e-3, _max_err(scores, ref_scores)
+    assert _max_err(scores, ref_scores) < 1e-4, _max_err(scores, ref_scores)
 
 
 def test_classifiers_output_equivalence():
@@ -189,8 +211,8 @@ def test_classifiers_output_equivalence():
         SVHNClassifier,
     )
 
-    # MNIST-28
-    tm = _seeded(TorchM28())
+    # MNIST-28 (no norm layers -> exact at any setting)
+    tm = TorchM28().eval()
     x = torch.randn(2, 1, 28, 28)
     with torch.no_grad():
         ref = tm(x).numpy()
@@ -199,7 +221,7 @@ def test_classifiers_output_equivalence():
     assert _max_err(got, ref) < 1e-4, _max_err(got, ref)
 
     # MNIST-32
-    tm = _seeded(TorchM32())
+    tm = TorchM32().eval()
     x = torch.randn(2, 1, 32, 32)
     with torch.no_grad():
         ref = tm(x).numpy()
@@ -207,8 +229,8 @@ def test_classifiers_output_equivalence():
     got = MNISTClassifier32().apply({"params": v["params"]}, _nhwc(x))
     assert _max_err(got, ref) < 1e-4, _max_err(got, ref)
 
-    # SVHN (BatchNorm; same eps both frameworks -> tight tolerance)
-    tm = _seeded(TorchSVHN())
+    # SVHN (BatchNorm; eps 1e-5 in both frameworks -> exact)
+    tm = TorchSVHN()
     with torch.no_grad():
         tm.train()
         for _ in range(3):
@@ -231,7 +253,7 @@ def test_imported_tree_matches_init_structure():
 
     from ratio_guided_multimodal_fm_tpu.models import FlowMatchingUNetSVHN
 
-    tm = _seeded(TorchNet())
+    tm = TorchNet().eval()
     variables = import_state_dict(tm.state_dict(), "unet_svhn")
 
     net = FlowMatchingUNetSVHN()
@@ -245,3 +267,12 @@ def test_imported_tree_matches_init_structure():
     assert got_map.keys() == want_map.keys()
     for k in want_map:
         assert tuple(got_map[k]) == want_map[k], k
+
+
+def test_norm_eps_default_unchanged():
+    """The framework default stays at the flax convention (1e-6): every
+    shipped round-1..3 artifact was measured with it. The torch-exact
+    setting is opt-in per model construction."""
+    from ratio_guided_multimodal_fm_tpu.models import FlowMatchingUNetSVHN
+
+    assert FlowMatchingUNetSVHN().norm_eps == 1e-6
