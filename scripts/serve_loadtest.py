@@ -25,9 +25,11 @@ import urllib.request
 PORT = 8811
 RUN_DIR = os.environ.get("SERVE_RUN_DIR", "parity_runs/jax")
 TRANSFORM = os.environ.get("SERVE_TRANSFORM", "rotate90")
-WORKERS = 8
-REQS_PER_WORKER = 4
-N_PER_REQ = 16
+WORKERS = int(os.environ.get("SERVE_WORKERS", "8"))
+REQS_PER_WORKER = int(os.environ.get("SERVE_REQS", "4"))
+N_PER_REQ = int(os.environ.get("SERVE_N_PER_REQ", "16"))
+SERVER_BATCH = int(os.environ.get("SERVE_BATCH", "64"))
+OUT_SUFFIX = os.environ.get("SERVE_OUT_SUFFIX", "")
 WARM_REQS = 2
 
 
@@ -53,7 +55,8 @@ def main():
     srv = subprocess.Popen(
         [sys.executable, "-m", "ratio_guided_multimodal_fm_tpu.cli.serve",
          "--experiment", "mnist_transform", "--transform_type", TRANSFORM,
-         "--port", str(PORT), "--batch_size", "64", "--num_steps", "100",
+         "--port", str(PORT), "--batch_size", str(SERVER_BATCH),
+         "--num_steps", "100",
          "--mc_batch_size", "256", "--dtype", "bf16"],
         cwd=os.path.join(repo, RUN_DIR), env=env,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
@@ -110,7 +113,7 @@ def main():
                          "samples_per_request": N_PER_REQ,
                          "method": "mc_feng gamma=0.5, 100 steps, warm MC set",
                          "experiment": f"mnist_transform/{TRANSFORM}",
-                         "server_batch": 64, "linger_ms": 10},
+                         "server_batch": SERVER_BATCH, "linger_ms": 10},
             "wall_sec": round(wall, 3),
             "client_samples_per_sec": round(total / wall, 1),
             "request_latency_sec": {
@@ -124,7 +127,8 @@ def main():
             },
         }
         os.makedirs(os.path.join(repo, "docs/results_r3"), exist_ok=True)
-        with open(os.path.join(repo, "docs/results_r3/serve_loadtest.json"),
+        with open(os.path.join(
+                repo, f"docs/results_r3/serve_loadtest{OUT_SUFFIX}.json"),
                   "w") as f:
             json.dump(out, f, indent=2)
         print(json.dumps(out), flush=True)
