@@ -25,3 +25,6 @@ def pytest_configure(config):
         "multiprocess: spawns REAL extra Python processes (jax.distributed"
         " + gloo); the slowest tests — deselect with -m 'not multiprocess'"
         " for a quick pass")
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute single-process tests (training loops)")
