@@ -64,16 +64,18 @@ def main():
            "reps": REPS, "fm": {}, "ratio": {}}
 
     fm = FlowMatchingUNetSVHN(dtype=jnp.bfloat16)
-    fm_state = create_fm_state(fm, jax.random.PRNGKey(0), (32, 32, 3),
-                               lr=1e-4)
     fm_step = make_fm_train_step(fm)
     ratio = RatioEstimatorMNISTSVHN(dtype=jnp.bfloat16)
-    r_state = create_ratio_state(ratio, jax.random.PRNGKey(1),
-                                 (32, 32, 1), (32, 32, 3), lr=1e-4,
-                                 has_batch_stats=True)
     r_step = make_ratio_train_step(ratio, "disc", has_batch_stats=True)
 
     for b in BATCHES:
+        # Fresh states per batch size: the jitted steps donate their state
+        # argument, so a state consumed at B=128 is deleted for B=256.
+        fm_state = create_fm_state(fm, jax.random.PRNGKey(0), (32, 32, 3),
+                                   lr=1e-4)
+        r_state = create_ratio_state(ratio, jax.random.PRNGKey(1),
+                                     (32, 32, 1), (32, 32, 3), lr=1e-4,
+                                     has_batch_stats=True)
         k = jax.random.PRNGKey(b)
         xb = jax.random.normal(k, (b, 32, 32, 3), jnp.float32)
         rate = _rate(fm_step, fm_state,
