@@ -46,7 +46,7 @@ from ratio_guided_multimodal_fm_tpu.models.layers import timestep_embedding
 _DN = ("NHWC", "HWIO", "NHWC")
 
 _MERGE_FIELDS = ("in_channels", "img_size", "model_channels",
-                 "channel_mult", "num_res_blocks")
+                 "channel_mult", "num_res_blocks", "norm_eps")
 
 
 def can_merge(model_x, model_y) -> bool:
@@ -89,10 +89,11 @@ def _gconv(h, p, *, stride=1, pad=1, dtype):
         feature_group_count=2) + p["bias"].astype(dtype)
 
 
-def _gn_silu(h, p, g_part, *, dtype, silu=True):
+def _gn_silu(h, p, g_part, *, dtype, eps=1e-6, silu=True):
     """Per-part GroupNorm(+SiLU) on the merged layout: 2*g_part groups over
     2*C channels. Exact because per-part C divides g_part, so no group
-    straddles the part boundary. f32 stats, eps=1e-6 (= nn.GroupNorm)."""
+    straddles the part boundary. f32 stats; `eps` must match the source
+    models' norm_eps (1e-6 flax default, 1e-5 torch-exact imports)."""
     B, _, _, C2 = h.shape
     g = 2 * g_part
     cg = C2 // g
@@ -100,7 +101,7 @@ def _gn_silu(h, p, g_part, *, dtype, silu=True):
     xg = xf.reshape(B, -1, g, cg)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
     var = jnp.mean(xg * xg, axis=(1, 3), keepdims=True) - mean * mean
-    y = (xg - mean) * jax.lax.rsqrt(var + 1e-6)
+    y = (xg - mean) * jax.lax.rsqrt(var + eps)
     y = y.reshape(h.shape)
     y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
     y = y.astype(dtype)
@@ -125,17 +126,17 @@ def _interleave(h, s):
         [h[..., :Ch], s[..., :Cs], h[..., Ch:], s[..., Cs:]], axis=-1)
 
 
-def _resblock(h, t_embs, p, out_ch, *, skip=None, dtype):
+def _resblock(h, t_embs, p, out_ch, *, skip=None, dtype, eps=1e-6):
     """Merged ResBlock, mirroring models/layers.py:ResBlock (deterministic;
     math identical to both the concat and the split_skip formulations)."""
     if skip is not None:
         h = _interleave(h, skip)
     in_ch = h.shape[-1] // 2
     g = min(8, in_ch)
-    z = _gn_silu(h, p["GroupNorm_0"], g, dtype=dtype)
+    z = _gn_silu(h, p["GroupNorm_0"], g, dtype=dtype, eps=eps)
     z = _gconv(z, p["conv1"], dtype=dtype)
     z = z + _time_bias(t_embs, p["time_mlp"], dtype)[:, None, None, :]
-    z = _gn_silu(z, p["GroupNorm_1"], min(8, out_ch), dtype=dtype)
+    z = _gn_silu(z, p["GroupNorm_1"], min(8, out_ch), dtype=dtype, eps=eps)
     z = _gconv(z, p["conv2"], dtype=dtype)
     if in_ch != out_ch:
         h = _gconv(h, p["skip"], pad=0, dtype=dtype)
@@ -152,6 +153,7 @@ def make_merged_velocity_fn(model) -> Callable:
     nrb = model.num_res_blocks
     cin = model.in_channels
     dtype = model.dtype
+    eps = getattr(model, "norm_eps", 1e-6)
 
     def fn(p, x, y, t):
         h = jnp.concatenate([x, y], axis=-1).astype(dtype)
@@ -174,7 +176,7 @@ def make_merged_velocity_fn(model) -> Callable:
             out_ch = mc * mult
             for _ in range(nrb):
                 h = _resblock(h, t_embs, p[f"enc_{blk}"], out_ch,
-                              dtype=dtype)
+                              dtype=dtype, eps=eps)
                 hs.append(h)
                 blk += 1
             if level < len(cmult) - 1:
@@ -183,21 +185,21 @@ def make_merged_velocity_fn(model) -> Callable:
                 hs.append(h)
 
         ch = h.shape[-1] // 2
-        h = _resblock(h, t_embs, p["middle_1"], ch, dtype=dtype)
-        h = _resblock(h, t_embs, p["middle_2"], ch, dtype=dtype)
+        h = _resblock(h, t_embs, p["middle_1"], ch, dtype=dtype, eps=eps)
+        h = _resblock(h, t_embs, p["middle_2"], ch, dtype=dtype, eps=eps)
 
         blk = 0
         for rev_idx, level in enumerate(reversed(range(len(cmult)))):
             out_ch = mc * cmult[level]
             for _ in range(nrb + 1):
                 h = _resblock(h, t_embs, p[f"dec_{blk}"], out_ch,
-                              skip=hs.pop(), dtype=dtype)
+                              skip=hs.pop(), dtype=dtype, eps=eps)
                 blk += 1
             if level > 0:
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
                 h = _gconv(h, p[f"up_{rev_idx}"]["conv"], dtype=dtype)
 
-        h = _gn_silu(h, p["GroupNorm_0"], min(8, mc), dtype=dtype)
+        h = _gn_silu(h, p["GroupNorm_0"], min(8, mc), dtype=dtype, eps=eps)
         h = _gconv(h, p["out_conv"], dtype=dtype)
         return h[..., :cin], h[..., cin:]
 

@@ -85,8 +85,11 @@ def maybe_init_distributed(
     # context creation to a point where skew is milliseconds.
     from jax.experimental import multihost_utils
 
-    multihost_utils.sync_global_devices("rgmf:multihost_init")
+    # Mark initialized BEFORE the barrier: jax.distributed.initialize has
+    # already succeeded, so a retry after a barrier failure must no-op
+    # instead of re-entering initialize ("already initialized").
     _initialized = True
+    multihost_utils.sync_global_devices("rgmf:multihost_init")
     return True
 
 

@@ -12,7 +12,11 @@ MFU uses the analytic forward-FLOP count x3 (fwd + ~2x bwd), the same
 convention as bench.py. Timing drains through a host readback (axon's
 block_until_ready returns early — CLAUDE.md).
 
-Writes docs/results_r3/train_batch_scaling.json. Run on TPU:
+Writes docs/results_r3/train_batch_scaling.json. Run on TPU — gate with
+the CLAUDE.md preflight loop first (tpu_run_stage.sh only adds the
+wedge watchdog, not the free-chip check), with the repo on PYTHONPATH:
+  export PYTHONPATH=/root/repo:$PYTHONPATH
+  # preflight: timeout 60 python -c "import jax,jax.numpy as jnp; ..."
   bash scripts/tpu_run_stage.sh train_scaling /root/repo \
       python scripts/train_scaling.py
 """

@@ -136,3 +136,28 @@ def test_maybe_merged_pair_fn_gating():
     np.testing.assert_allclose(
         np.asarray(vy), np.asarray(model.apply({"params": py}, x, t)),
         rtol=0, atol=2e-5)
+
+
+def test_merged_respects_norm_eps():
+    """Torch-exact imports build nets with norm_eps=1e-5; the merged path
+    must use the models' eps, not a hardcoded 1e-6 (and refuse to merge
+    nets whose epsilons differ)."""
+    mk = lambda eps: FlexibleUNet(in_channels=1, img_size=16,
+                                  model_channels=8, channel_mult=(1, 2),
+                                  num_res_blocks=1, norm_eps=eps)
+    mx, my = mk(1e-5), mk(1e-5)
+    assert can_merge(mx, my)
+    assert not can_merge(mx, mk(1e-6))
+
+    px = _init(mx, jax.random.PRNGKey(0), 16, 1)
+    py = _init(my, jax.random.PRNGKey(1), 16, 1)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 1))
+    y = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 1))
+    t = jnp.array([0.2, 0.8])
+    vx_ref = mx.apply({"params": px}, x, t)
+    vy_ref = my.apply({"params": py}, y, t)
+    vx, vy = make_merged_velocity_fn(mx)(merge_unet_params(px, py), x, y, t)
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(vx_ref),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vy), np.asarray(vy_ref),
+                               rtol=0, atol=2e-5)
