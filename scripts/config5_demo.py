@@ -62,7 +62,10 @@ def train_classifier(imgs_dev, lbls, seed, epochs=6, bs=128):
     `imgs_dev` is a DEVICE-resident array (uploaded once by main) —
     per-step batches are gathered on-device from int32 index arrays, so
     the axon tunnel never re-streams image bytes (measured: per-batch
-    jnp.asarray of 6.3MB costs seconds through the tunnel)."""
+    jnp.asarray of 6.3MB costs seconds through the tunnel). The dataset
+    enters the jitted step as an ARGUMENT: closing over it embeds the
+    full n*64*64*3 f32 array as a serialized constant, which the remote
+    compile helper rejects with HTTP 413 at full scale (CLAUDE.md)."""
     import optax
     from flax.training import train_state
 
@@ -77,9 +80,9 @@ def train_classifier(imgs_dev, lbls, seed, epochs=6, bs=128):
     lbls_dev = jax.device_put(jnp.asarray(lbls))
 
     @jax.jit
-    def step(st, idx, key):
-        x = jnp.take(imgs_dev, idx, axis=0)
-        y = jnp.take(lbls_dev, idx, axis=0)
+    def step(st, imgs, all_lbls, idx, key):
+        x = jnp.take(imgs, idx, axis=0)
+        y = jnp.take(all_lbls, idx, axis=0)
         def loss_fn(p):
             logits = clf.apply({"params": p}, x, deterministic=False,
                                rngs={"dropout": key})
@@ -93,7 +96,8 @@ def train_classifier(imgs_dev, lbls, seed, epochs=6, bs=128):
         order = host.permutation(n_tr)
         for b in range(n_tr // bs):
             idx = jnp.asarray(order[b * bs:(b + 1) * bs], jnp.int32)
-            state, _ = step(state, idx, jax.random.fold_in(k, ep * 1000 + b))
+            state, _ = step(state, imgs_dev, lbls_dev, idx,
+                            jax.random.fold_in(k, ep * 1000 + b))
 
     apply = jax.jit(lambda x: clf.apply({"params": state.params}, x))
     preds = []
@@ -245,11 +249,6 @@ def main():
                "classifier_acc": {"objects": acc_x, "faces": acc_y},
                "loss_curve": loss_curve, "eval": []}
 
-    lr_fn = lambda a, b: ratio.apply(    # noqa: E731
-        {"params": rs.params}, a, b, method=ratio.log_ratio)
-    fx = lambda x, t: fm_x.apply({"params": sx.params}, x, t)  # noqa: E731
-    fy = lambda y, t: fm_y.apply({"params": sy.params}, y, t)  # noqa: E731
-
     # Merged-pair evaluation (models/merged.py) is available for this
     # same-topology pair via --merged_unet, but defaults OFF: it measured
     # 31% slower on v5e (docs/results_r3/merged_experiment.json). Only the
@@ -263,14 +262,22 @@ def main():
         if can_merge(fm_x, fm_y):
             pair_apply = merged_pair_apply(fm_x)
 
-    # fresh-MC-set-per-chunk eval (the framework default, eval/chunked.py)
+    # fresh-MC-set-per-chunk eval (the framework default, eval/chunked.py).
+    # Params enter the jitted MC-set builder as ARGUMENTS: generate_mc_set
+    # traces its lax.scan, so closing over the two ~37M-param U-Net trees
+    # would embed them as serialized constants and the remote compile
+    # helper rejects that with HTTP 413 (CLAUDE.md remote-compile limits).
+    mc_gen = jax.jit(lambda ps, key: generate_mc_set(
+        lambda x, t: fm_x.apply({"params": ps[0]}, x, t),
+        lambda y, t: fm_y.apply({"params": ps[1]}, y, t),
+        lambda a, b: ratio.apply({"params": ps[2]}, a, b,
+                                 method=ratio.log_ratio),
+        key, args.mc_batch_size, (64, 64, 3), (64, 64, 3), args.num_steps))
     mc_sets = {}
 
     def mc_for(ci, key):
         if ci not in mc_sets:
-            mc_sets[ci] = generate_mc_set(
-                fx, fy, lr_fn, key, args.mc_batch_size, (64, 64, 3),
-                (64, 64, 3), args.num_steps)
+            mc_sets[ci] = mc_gen((sx.params, sy.params, rs.params), key)
             _sync(mc_sets[ci][2])
         return mc_sets[ci]
 
