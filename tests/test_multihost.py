@@ -87,7 +87,7 @@ def test_two_process_global_batch_assembly(tmp_path):
             [sys.executable, str(worker)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     try:
-        outs = [p.communicate(timeout=180)[0] for p in procs]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()

@@ -129,7 +129,7 @@ def test_two_process_mc_sharded_guidance(tmp_path):
             [sys.executable, str(worker)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     try:
-        outs = [p.communicate(timeout=240)[0] for p in procs]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()

@@ -163,7 +163,7 @@ def test_two_process_dp_training(tmp_path):
             [sys.executable, str(worker)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     try:
-        outs = [p.communicate(timeout=300)[0] for p in procs]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
@@ -231,7 +231,7 @@ def test_two_process_skewed_preemption_agrees(tmp_path):
             [sys.executable, str(worker)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     try:
-        outs = [p.communicate(timeout=300)[0] for p in procs]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
