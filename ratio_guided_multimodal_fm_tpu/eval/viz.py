@@ -71,8 +71,10 @@ def visualize_pairs(samples_x, samples_y, save_path,
 
 
 def visualize_pairs_mnist_svhn(samples_x, samples_y, save_path,
-                               num_cols=8, num_rows=4):
-    """MNIST-SVHN pair grid (ref sample_mnist_svhn.py:180-244)."""
+                               num_cols=8, num_rows=4, title=None):
+    """Cross-modal pair grid (ref sample_mnist_svhn.py:180-244); `title`
+    overrides the MNIST/SVHN default for other modality pairs (e.g.
+    config5's objects/faces)."""
     _pair_grid(samples_x, samples_y, save_path,
-               "Generated Pairs — MNIST (top) / SVHN (bottom)",
+               title or "Generated Pairs — MNIST (top) / SVHN (bottom)",
                num_cols, num_rows)

@@ -327,8 +327,10 @@ def main():
         }
         results["eval"].append(row)
         grid = f"outputs/config5/samples_{method}_gamma{gamma}.png"
-        visualize_pairs_mnist_svhn(xs[:32], ys[:32], grid,
-                                   num_cols=8, num_rows=4)
+        visualize_pairs_mnist_svhn(
+            xs[:32], ys[:32], grid, num_cols=8, num_rows=4,
+            title="Generated Pairs — object scenes (odd rows) / "
+                  "faces (even rows)")
         print(f"{method} gamma={gamma}: coherence={coh:.3f} "
               f"H(obj)={row['label_entropy_objects']} "
               f"H(face)={row['label_entropy_faces']} ({dt:.0f}s) -> {grid}",
