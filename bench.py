@@ -42,7 +42,8 @@ DETAILS_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_details.json")
 
 
-def _build_sampler(scan_unroll: int = 1, method: str = "mc_feng"):
+def _build_sampler(scan_unroll: int = 1, method: str = "mc_feng",
+                   num_steps: int = NUM_STEPS, solver: str = "euler"):
     import jax
     import jax.numpy as jnp
 
@@ -71,8 +72,9 @@ def _build_sampler(scan_unroll: int = 1, method: str = "mc_feng"):
 
     cfg = GuidedSamplerConfig(
         guidance_method=method, guidance_strength=0.5,
-        num_steps=NUM_STEPS, mc_batch_size=MC_BATCH,
-        x_shape=(32, 32, 1), y_shape=(32, 32, 3), scan_unroll=scan_unroll)
+        num_steps=num_steps, mc_batch_size=MC_BATCH,
+        x_shape=(32, 32, 1), y_shape=(32, 32, 3), scan_unroll=scan_unroll,
+        solver=solver)
 
     sampler = jax.jit(
         make_guided_sampler_p(

@@ -58,6 +58,22 @@ def add_common_flags(p: argparse.ArgumentParser, seed_default: int = 42):
                         "grouped-conv lowering loses to two dense convs")
 
 
+def add_solver_flag(p: argparse.ArgumentParser):
+    """--solver for every sampler-facing CLI (sample/evaluate/serve).
+
+    The reference integrates with Euler only (flow_utils.py:85-100); the
+    higher-order fixed-step solvers are a TPU-framework capability: same
+    fused lax.scan, 2 velocity evals/step, O(dt²) local error — Euler-100
+    sample quality at ~4× fewer steps on trained (near-straight) rectified
+    flows (docs/results_r3/solver_study.json). 'heun' is unguided-only
+    (see sample/guided.py:GuidedSamplerConfig.solver)."""
+    p.add_argument("--solver", type=str, default="euler",
+                   choices=["euler", "midpoint", "heun"],
+                   help="ODE integrator: 'euler' (reference protocol), "
+                        "'midpoint' (2 evals/step, 2nd order; composes "
+                        "with guidance), 'heun' (2nd order, unguided only)")
+
+
 def arm_preemption():
     """Train-CLI startup hook: route SIGTERM to the preemption flag so a
     signal landing before the epoch driver's PreemptionGuard (data

@@ -17,6 +17,7 @@ import numpy as np
 from ratio_guided_multimodal_fm_tpu.cli.common import (
     dtype_of,
     add_common_flags,
+    add_solver_flag,
     fm_model,
     load_params_or_exit,
     maybe_merged_pair_fn,
@@ -52,6 +53,7 @@ def main(argv=None):
     parser.add_argument("--loss_type", type=str, default="disc")
     parser.add_argument("--num_samples", type=int, default=500)
     parser.add_argument("--num_steps", type=int, default=100)
+    add_solver_flag(parser)
     parser.add_argument("--model", type=str, default="unet",
                         choices=["unet", "original"])
     parser.add_argument("--ratio_clip", type=float, default=None,
@@ -169,7 +171,7 @@ def main(argv=None):
                         fm_x, fm_y, _lr, k,
                         args.mc_batch_size, (28, 28, 1), (28, 28, 1),
                         args.num_steps, log_ratio_clip=args.ratio_clip,
-                        fm_pair_fn=fm_pair)
+                        fm_pair_fn=fm_pair, solver=args.solver)
 
             # ONE jitted sampler per (method, strength), reused by every
             # chunk (identical shapes at the default equal-split) — not a
@@ -181,7 +183,8 @@ def main(argv=None):
                 x_shape=(28, 28, 1), y_shape=(28, 28, 1),
                 ess_floor=args.ess_floor,
                 grad_strength=args.grad_strength,
-                grad_scale=args.grad_scale, grad_t_max=args.grad_t_max)
+                grad_scale=args.grad_scale, grad_t_max=args.grad_t_max,
+                solver=args.solver)
             sampler = jax.jit(
                 make_guided_sampler(fm_x, fm_y, cfg, log_ratio,
                                     fm_pair_fn=fm_pair),

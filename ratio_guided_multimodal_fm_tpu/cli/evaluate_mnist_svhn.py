@@ -15,6 +15,7 @@ import numpy as np
 
 from ratio_guided_multimodal_fm_tpu.cli.common import (
     add_common_flags,
+    add_solver_flag,
     load_params_or_exit,
     velocity_fn,
 )
@@ -54,6 +55,7 @@ def main(argv=None):
     parser.add_argument("--loss_type", type=str, default="disc")
     parser.add_argument("--num_samples", type=int, default=500)
     parser.add_argument("--num_steps", type=int, default=100)
+    add_solver_flag(parser)
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples")
     parser.add_argument("--grad_strength", type=float, default=None,
@@ -147,7 +149,8 @@ def main(argv=None):
                     return generate_mc_set(
                         v_m, v_s, _lr, k,
                         args.mc_batch_size, (32, 32, 1), (32, 32, 3),
-                        args.num_steps, log_ratio_clip=args.ratio_clip)
+                        args.num_steps, log_ratio_clip=args.ratio_clip,
+                        solver=args.solver)
 
             # ONE jitted sampler per (method, strength), reused by every
             # chunk — not a fresh trace per chunk.
@@ -158,7 +161,8 @@ def main(argv=None):
                 x_shape=(32, 32, 1), y_shape=(32, 32, 3),
                 ess_floor=args.ess_floor,
                 grad_strength=args.grad_strength,
-                grad_scale=args.grad_scale, grad_t_max=args.grad_t_max)
+                grad_scale=args.grad_scale, grad_t_max=args.grad_t_max,
+                solver=args.solver)
             sampler = jax.jit(
                 make_guided_sampler(
                     v_m, v_s, cfg,

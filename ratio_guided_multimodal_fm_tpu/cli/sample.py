@@ -14,6 +14,7 @@ import jax
 from ratio_guided_multimodal_fm_tpu.cli.common import (
     dtype_of,
     add_common_flags,
+    add_solver_flag,
     fm_model,
     load_params_or_exit,
     maybe_merged_pair_fn,
@@ -40,6 +41,7 @@ def main(argv=None):
     parser.add_argument("--loss_type", type=str, default="disc")
     parser.add_argument("--num_samples", type=int, default=64)
     parser.add_argument("--num_steps", type=int, default=100)
+    add_solver_flag(parser)
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples (guards against "
                              "saturated-discriminator weight collapse)")
@@ -112,6 +114,7 @@ def main(argv=None):
         mc_batch_size=args.mc_batch_size,
         x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key,
         log_ratio_clip=args.ratio_clip, ess_floor=args.ess_floor,
+        solver=args.solver,
         return_diagnostics=True)
 
     os.makedirs("outputs", exist_ok=True)

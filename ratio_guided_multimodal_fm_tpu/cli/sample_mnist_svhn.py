@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from ratio_guided_multimodal_fm_tpu.cli.common import (
     add_common_flags,
+    add_solver_flag,
     load_params_or_exit,
     velocity_fn,
 )
@@ -80,6 +81,7 @@ def main(argv=None):
     parser.add_argument("--loss_type", type=str, default="disc")
     parser.add_argument("--num_samples", type=int, default=32)
     parser.add_argument("--num_steps", type=int, default=100)
+    add_solver_flag(parser)
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples")
     parser.add_argument("--ess_floor", type=float, default=None,
@@ -110,6 +112,7 @@ def main(argv=None):
         mc_batch_size=args.mc_batch_size,
         x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=key,
         log_ratio_clip=args.ratio_clip, ess_floor=args.ess_floor,
+        solver=args.solver,
         return_diagnostics=True)
 
     os.makedirs("outputs/mnist_svhn", exist_ok=True)

@@ -71,11 +71,13 @@ class SamplerService:
 
     def __init__(self, fm_x_fn, fm_y_fn, log_ratio_fn, x_shape, y_shape,
                  batch_size=64, num_steps=100, mc_batch_size=256, seed=0,
-                 linger_ms: float = 10.0, fm_pair_fn=None):
+                 linger_ms: float = 10.0, fm_pair_fn=None,
+                 solver: str = "euler"):
         self.batch_size = batch_size
         self.x_shape = tuple(x_shape)
         self.y_shape = tuple(y_shape)
         self.num_steps = num_steps
+        self.solver = solver
         self._samplers = {}
         self._fm_x, self._fm_y, self._log_ratio = fm_x_fn, fm_y_fn, log_ratio_fn
         self._fm_pair = fm_pair_fn  # merged-pair evaluation (models/merged.py)
@@ -84,7 +86,7 @@ class SamplerService:
             self._mc_set = generate_mc_set(
                 fm_x_fn, fm_y_fn, log_ratio_fn, jax.random.PRNGKey(seed),
                 mc_batch_size, self.x_shape, self.y_shape, num_steps,
-                fm_pair_fn=fm_pair_fn)
+                fm_pair_fn=fm_pair_fn, solver=solver)
             # np.asarray readback = real barrier (block_until_ready
             # returns early on the axon TPU backend); keeps the MC set
             # materialized before the server accepts traffic.
@@ -136,7 +138,8 @@ class SamplerService:
             cfg = GuidedSamplerConfig(
                 guidance_method=method, guidance_strength=float(strength),
                 num_steps=self.num_steps, mc_batch_size=self.mc_batch_size,
-                x_shape=self.x_shape, y_shape=self.y_shape)
+                x_shape=self.x_shape, y_shape=self.y_shape,
+                solver=self.solver)
             self._samplers[key] = jax.jit(
                 make_guided_sampler(self._fm_x, self._fm_y, cfg,
                                     self._log_ratio,
@@ -322,6 +325,8 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--num_steps", type=int, default=100)
     parser.add_argument("--mc_batch_size", type=int, default=256)
+    from ratio_guided_multimodal_fm_tpu.cli.common import add_solver_flag
+    add_solver_flag(parser)
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
@@ -339,7 +344,7 @@ def main(argv=None):
         service = SamplerService(
             velocity_fn(fm_m, pm), velocity_fn(fm_s, ps), log_ratio,
             (32, 32, 1), (32, 32, 3), args.batch_size, args.num_steps,
-            args.mc_batch_size, args.seed)
+            args.mc_batch_size, args.seed, solver=args.solver)
     else:
         import jax.numpy as jnp
         from ratio_guided_multimodal_fm_tpu.cli.common import (
@@ -370,7 +375,8 @@ def main(argv=None):
             ratio_log_fn(ratio, {"params": pr}),
             (28, 28, 1), (28, 28, 1), args.batch_size, args.num_steps,
             args.mc_batch_size, args.seed,
-            fm_pair_fn=maybe_merged_pair_fn(model, model, px, py, args))
+            fm_pair_fn=maybe_merged_pair_fn(model, model, px, py, args),
+            solver=args.solver)
 
     print("Warming up (compiling samplers)...")
     service.warmup(("none", "mc_feng"))

@@ -1,7 +1,10 @@
 from ratio_guided_multimodal_fm_tpu.flow.cfm import (
+    SOLVERS,
     interpolate,
     cfm_loss,
     euler_sample,
+    ode_scan,
+    ode_scan_pair,
 )
 from ratio_guided_multimodal_fm_tpu.flow.losses import (
     disc_loss,

@@ -56,41 +56,85 @@ def cfm_loss(velocity_fn: Callable, key: jax.Array, x1: jax.Array) -> jax.Array:
     return jnp.mean((v.astype(jnp.float32) - u.astype(jnp.float32)) ** 2)
 
 
-def euler_scan(velocity_fn: Callable, x0: jax.Array, num_steps: int = 100,
-               unroll: int = 1) -> jax.Array:
-    """THE Euler integrator: x0 at t=0 → x1 at t=1 via one lax.scan.
+SOLVERS = ("euler", "midpoint", "heun")
 
-    t-grid = step·dt (ref flow_utils.py:85-100). This is the single
-    implementation used by `euler_sample`, the guided sampler's MC phase
-    (sample/guided.py) and the distributed sampler
-    (parallel/sharded_guidance.py) — a numerics change lands everywhere.
-    Traceable (not jitted here); callers jit the surrounding program.
+
+def ode_scan(velocity_fn: Callable, x0: jax.Array, num_steps: int = 100,
+             unroll: int = 1, solver: str = "euler") -> jax.Array:
+    """THE flow-ODE integrator: x0 at t=0 → x1 at t=1 via one lax.scan.
+
+    t-grid = step·dt (ref flow_utils.py:85-100; the reference only has
+    Euler). This is the single implementation used by `euler_sample`, the
+    guided sampler's MC phase (sample/guided.py) and the distributed
+    sampler (parallel/sharded_guidance.py) — a numerics change lands
+    everywhere. Traceable (not jitted here); callers jit the program.
+
+    Solvers (all fixed-step, same scan structure — XLA sees one fused
+    program either way):
+      'euler'    — 1 velocity eval/step, O(dt) local error (reference).
+      'midpoint' — 2 evals/step, O(dt²): eval at t, half-step, re-eval at
+                   t+dt/2, full step with the midpoint velocity. On a
+                   trained rectified flow the trajectories are near-straight,
+                   so midpoint at N/2 steps matches Euler at N — same
+                   cost, or Euler quality at ~4× fewer steps.
+      'heun'     — 2 evals/step, O(dt²): trapezoid of eval at t and at the
+                   Euler-predicted endpoint t+dt (touches t=1.0 on the
+                   last step, which is fine for FM nets but NOT for
+                   mc_feng guidance — see sample/guided.py).
     """
+    if solver not in SOLVERS:
+        raise ValueError(f"solver must be one of {SOLVERS}, got {solver!r}")
     dt = 1.0 / num_steps
 
     def step(x_t, i):
         t = jnp.full((x0.shape[0],), i * dt, jnp.float32)
-        v = velocity_fn(x_t, t)
-        return x_t + v.astype(jnp.float32) * dt, None
+        v = velocity_fn(x_t, t).astype(jnp.float32)
+        if solver == "midpoint":
+            v = velocity_fn(x_t + 0.5 * dt * v,
+                            t + 0.5 * dt).astype(jnp.float32)
+        elif solver == "heun":
+            v2 = velocity_fn(x_t + dt * v, t + dt).astype(jnp.float32)
+            v = 0.5 * (v + v2)
+        return x_t + v * dt, None
 
     x1, _ = jax.lax.scan(step, x0.astype(jnp.float32),
                          jnp.arange(num_steps), unroll=unroll)
     return x1
 
 
-def euler_scan_pair(pair_fn: Callable, x0: jax.Array, y0: jax.Array,
-                    num_steps: int = 100, unroll: int = 1):
-    """Paired Euler integrator: both modality ODEs advance in ONE scan so a
+def euler_scan(velocity_fn: Callable, x0: jax.Array, num_steps: int = 100,
+               unroll: int = 1) -> jax.Array:
+    """Back-compat alias: ode_scan with the reference's Euler solver."""
+    return ode_scan(velocity_fn, x0, num_steps, unroll=unroll,
+                    solver="euler")
+
+
+def ode_scan_pair(pair_fn: Callable, x0: jax.Array, y0: jax.Array,
+                  num_steps: int = 100, unroll: int = 1,
+                  solver: str = "euler"):
+    """Paired integrator: both modality ODEs advance in ONE scan so a
     merged-pair velocity fn (models/merged.py) evaluates both U-Nets as a
-    single grouped-conv program. Same t-grid/numerics as euler_scan."""
+    single grouped-conv program. Same t-grid/numerics/solvers as ode_scan."""
+    if solver not in SOLVERS:
+        raise ValueError(f"solver must be one of {SOLVERS}, got {solver!r}")
     dt = 1.0 / num_steps
 
     def step(carry, i):
         x_t, y_t = carry
         t = jnp.full((x0.shape[0],), i * dt, jnp.float32)
         v_x, v_y = pair_fn(x_t, y_t, t)
-        return (x_t + v_x.astype(jnp.float32) * dt,
-                y_t + v_y.astype(jnp.float32) * dt), None
+        v_x = v_x.astype(jnp.float32)
+        v_y = v_y.astype(jnp.float32)
+        if solver == "midpoint":
+            v_x, v_y = pair_fn(x_t + 0.5 * dt * v_x,
+                               y_t + 0.5 * dt * v_y, t + 0.5 * dt)
+            v_x = v_x.astype(jnp.float32)
+            v_y = v_y.astype(jnp.float32)
+        elif solver == "heun":
+            v_x2, v_y2 = pair_fn(x_t + dt * v_x, y_t + dt * v_y, t + dt)
+            v_x = 0.5 * (v_x + v_x2.astype(jnp.float32))
+            v_y = 0.5 * (v_y + v_y2.astype(jnp.float32))
+        return (x_t + v_x * dt, y_t + v_y * dt), None
 
     (x1, y1), _ = jax.lax.scan(step, (x0.astype(jnp.float32),
                                       y0.astype(jnp.float32)),
@@ -98,17 +142,26 @@ def euler_scan_pair(pair_fn: Callable, x0: jax.Array, y0: jax.Array,
     return x1, y1
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3))
-def euler_sample(velocity_fn: Callable, key: jax.Array, shape: tuple, num_steps: int = 100):
-    """Integrate the flow ODE prior→data with a fused lax.scan Euler loop.
+def euler_scan_pair(pair_fn: Callable, x0: jax.Array, y0: jax.Array,
+                    num_steps: int = 100, unroll: int = 1):
+    """Back-compat alias: ode_scan_pair with the reference's Euler solver."""
+    return ode_scan_pair(pair_fn, x0, y0, num_steps, unroll=unroll,
+                         solver="euler")
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def euler_sample(velocity_fn: Callable, key: jax.Array, shape: tuple,
+                 num_steps: int = 100, solver: str = "euler"):
+    """Integrate the flow ODE prior→data with a fused lax.scan loop.
 
     Matches CFMSchedule.sample semantics (t = step·dt grid, ref
     flow_utils.py:69-100) but compiles the whole trajectory into one XLA
-    program — no per-step host dispatch.
+    program — no per-step host dispatch. `solver` picks the ode_scan
+    integrator (the reference only has 'euler').
 
     Args:
       velocity_fn: (x_t, t[B]) -> v.
       shape: full output shape, e.g. (N, 28, 28, 1) NHWC.
     """
     x0 = jax.random.normal(key, shape, jnp.float32)
-    return euler_scan(velocity_fn, x0, num_steps)
+    return ode_scan(velocity_fn, x0, num_steps, solver=solver)

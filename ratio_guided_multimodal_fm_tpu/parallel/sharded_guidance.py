@@ -23,7 +23,7 @@ tests/test_distributed_sampler.py.
 
 The guided Euler step body is shared with the single-device sampler
 (`sample.guided._make_guided_step`), and the MC phase uses the one
-`flow.cfm.euler_scan` integrator — no duplicated numerics.
+`flow.cfm.ode_scan` integrator — no duplicated numerics.
 """
 from __future__ import annotations
 
@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ratio_guided_multimodal_fm_tpu.flow.cfm import euler_scan
+from ratio_guided_multimodal_fm_tpu.flow.cfm import ode_scan
 from ratio_guided_multimodal_fm_tpu.sample.guided import (
     GuidedSamplerConfig,
     _make_guided_step,
@@ -103,8 +103,8 @@ def make_distributed_guided_sampler_p(
                                               mc_local, 0)
             y0 = jax.lax.dynamic_slice_in_dim(y0_full, mi * mc_local,
                                               mc_local, 0)
-            mc_x1 = euler_scan(fm_x_fn, x0, num_steps)
-            mc_y1 = euler_scan(fm_y_fn, y0, num_steps)
+            mc_x1 = ode_scan(fm_x_fn, x0, num_steps, solver=cfg.solver)
+            mc_y1 = ode_scan(fm_y_fn, y0, num_steps, solver=cfg.solver)
             log_r = log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32)
             if cfg.log_ratio_clip is not None:
                 log_r = jnp.clip(log_r, -cfg.log_ratio_clip,

@@ -57,7 +57,8 @@ import jax
 import jax.numpy as jnp
 
 from ratio_guided_multimodal_fm_tpu.core.guards import check_finite
-from ratio_guided_multimodal_fm_tpu.flow.cfm import euler_scan, euler_scan_pair
+from ratio_guided_multimodal_fm_tpu.flow.cfm import (
+    SOLVERS, euler_scan, euler_scan_pair, ode_scan, ode_scan_pair)
 
 EPS_T = 1e-3  # guidance gate / sigma floor, matches ref flow_utils.py:224,279
 
@@ -238,6 +239,17 @@ class GuidedSamplerConfig:
     # ratio_estimator.py:100 — so its gradients are off-distribution at
     # small t and its landscape is sharpest near t=1).
     grad_t_max: float = 1.0
+    # ODE solver for BOTH the MC phase and the main loop: 'euler'
+    # (reference protocol), 'midpoint' or 'heun' (2 evals/step, O(dt²) —
+    # Euler-100 quality at far fewer steps on near-straight rectified
+    # flows; see flow/cfm.py:ode_scan). 'heun' is unguided-only: its
+    # second eval lands on t=1.0 where the mc_feng conditional velocity
+    # (x1-x_t)/(1-t+ε) blows up by 1/ε; midpoint's last eval sits at
+    # t=1-dt/2 and is exactly consistent with that field (the midpoint
+    # correction cancels the (1-t) shrinkage), so it composes cleanly
+    # with guidance. Kept LAST in the dataclass: callers construct
+    # configs positionally up through the reference-parity fields.
+    solver: str = "euler"
 
 
 def _resolve_pallas(cfg: "GuidedSamplerConfig",
@@ -280,7 +292,10 @@ def _make_guided_step(
 ):
     """Build the main-ODE scan body shared by the single-device and the
     distributed (shard_map) samplers — ONE implementation of the guided
-    Euler step (round-1 review flagged three copies)."""
+    step (round-1 review flagged three copies). The step evaluates the
+    guidance-mixed velocity field with cfg.solver (euler / midpoint /
+    unguided heun) — the mixed field is integrated as one ODE, so the
+    higher-order correction applies to the guidance term too."""
     method = cfg.guidance_method
     gamma = cfg.guidance_strength
     dt = 1.0 / cfg.num_steps
@@ -289,6 +304,15 @@ def _make_guided_step(
     use_grad = guided and method in ("grad", "mc_feng+grad")
     grad_gamma = cfg.grad_strength if cfg.grad_strength is not None else gamma
     use_pallas = _resolve_pallas(cfg, mc_axis)
+    if cfg.solver not in SOLVERS:
+        raise ValueError(f"solver must be one of {SOLVERS}, "
+                         f"got {cfg.solver!r}")
+    if cfg.solver == "heun" and guided:
+        raise ValueError(
+            "solver='heun' is unguided-only: its endpoint eval at t=1.0 "
+            "divides the mc_feng conditional velocity by ε — use "
+            "'midpoint' with guidance (exactly consistent with the "
+            "(x1-x_t)/(1-t) field)")
     if use_mc and use_pallas:
         # log r̂ hoisted out of the scan (invariant across steps)
         mc_log_r = jnp.log(jnp.maximum(
@@ -298,9 +322,8 @@ def _make_guided_step(
         # fail loudly like the XLA path's weight check does.
         check_finite(mc_log_r, "mc_feng log ratios (pallas path)")
 
-    def step(carry, i):
-        x_t, y_t = carry
-        t = i * dt
+    def mixed_velocity(x_t, y_t, t):
+        """Guidance-mixed velocity field at scalar time t → (v_x, v_y, diag)."""
         tb = jnp.full((x_t.shape[0],), t, jnp.float32)
         if fm_pair_fn is not None:
             # Merged-pair path (models/merged.py): one grouped-conv
@@ -355,6 +378,24 @@ def _make_guided_step(
             v_x = v_x + gate * g_x
             v_y = v_y + gate * g_y
 
+        return v_x, v_y, diag
+
+    def step(carry, i):
+        x_t, y_t = carry
+        t = i * dt
+        v_x, v_y, diag = mixed_velocity(x_t, y_t, t)
+        if cfg.solver == "midpoint":
+            # Re-evaluate the full mixed field (guidance included) at the
+            # half-step point; diagnostics stay on the t-grid (first eval)
+            # so euler/midpoint traces align step-for-step.
+            v_x, v_y, _ = mixed_velocity(x_t + 0.5 * dt * v_x,
+                                         y_t + 0.5 * dt * v_y,
+                                         t + 0.5 * dt)
+        elif cfg.solver == "heun":    # unguided-only (checked above)
+            v_x2, v_y2, _ = mixed_velocity(x_t + dt * v_x,
+                                           y_t + dt * v_y, t + dt)
+            v_x = 0.5 * (v_x + v_x2)
+            v_y = 0.5 * (v_y + v_y2)
         x_t = x_t + v_x * dt
         y_t = y_t + v_y * dt
         return (x_t, y_t), diag
@@ -394,6 +435,17 @@ def make_guided_sampler_p(
     method = cfg.guidance_method
     num_steps = cfg.num_steps
     guided = method != "none" and log_ratio_apply is not None
+    # Eager solver validation — fail at build time, not after a 3-10 min
+    # remote compile. _make_guided_step re-checks (the distributed sampler
+    # calls it directly).
+    if cfg.solver not in SOLVERS:
+        raise ValueError(f"solver must be one of {SOLVERS}, "
+                         f"got {cfg.solver!r}")
+    if cfg.solver == "heun" and guided:
+        raise ValueError(
+            "solver='heun' is unguided-only: its endpoint eval at t=1.0 "
+            "divides the mc_feng conditional velocity by ε — use "
+            "'midpoint' with guidance")
     if fm_pair_apply is not None and cfg.x_shape != cfg.y_shape:
         raise ValueError(
             "fm_pair_apply (merged-pair evaluation) requires "
@@ -431,14 +483,17 @@ def make_guided_sampler_p(
             y0 = jax.random.normal(kmy, (cfg.mc_batch_size,) + cfg.y_shape,
                                    jnp.float32)
             if fm_pair_fn is not None:   # x_shape == y_shape guaranteed
-                mc_x1, mc_y1 = euler_scan_pair(fm_pair_fn, x0, y0,
-                                               num_steps,
-                                               unroll=cfg.scan_unroll)
+                mc_x1, mc_y1 = ode_scan_pair(fm_pair_fn, x0, y0,
+                                             num_steps,
+                                             unroll=cfg.scan_unroll,
+                                             solver=cfg.solver)
             else:
-                mc_x1 = euler_scan(fm_x_fn, x0, num_steps,
-                                   unroll=cfg.scan_unroll)
-                mc_y1 = euler_scan(fm_y_fn, y0, num_steps,
-                                   unroll=cfg.scan_unroll)
+                mc_x1 = ode_scan(fm_x_fn, x0, num_steps,
+                                 unroll=cfg.scan_unroll,
+                                 solver=cfg.solver)
+                mc_y1 = ode_scan(fm_y_fn, y0, num_steps,
+                                 unroll=cfg.scan_unroll,
+                                 solver=cfg.solver)
             log_r = log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32)
             if cfg.log_ratio_clip is not None:
                 log_r = jnp.clip(log_r, -cfg.log_ratio_clip,
@@ -498,6 +553,7 @@ def generate_mc_set(
     num_steps: int = 100,
     log_ratio_clip: Optional[float] = None,
     fm_pair_fn: Optional[Callable] = None,
+    solver: str = "euler",
 ):
     """Generate the Monte-Carlo guidance set once: (mc_x1, mc_y1, mc_ratios).
 
@@ -515,13 +571,14 @@ def generate_mc_set(
                                jnp.float32)
         y0 = jax.random.normal(kmy, (mc_batch_size,) + tuple(y_shape),
                                jnp.float32)
-        mc_x1, mc_y1 = jax.jit(euler_scan_pair, static_argnums=(0, 3))(
-            fm_pair_fn, x0, y0, num_steps)
+        mc_x1, mc_y1 = jax.jit(
+            ode_scan_pair, static_argnums=(0, 3, 4, 5))(
+            fm_pair_fn, x0, y0, num_steps, 1, solver)
     else:
         mc_x1 = euler_sample(fm_x_fn, kmx, (mc_batch_size,) + tuple(x_shape),
-                             num_steps)
+                             num_steps, solver)
         mc_y1 = euler_sample(fm_y_fn, kmy, (mc_batch_size,) + tuple(y_shape),
-                             num_steps)
+                             num_steps, solver)
     log_r = log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32)
     if log_ratio_clip is not None:
         log_r = jnp.clip(log_r, -log_ratio_clip, log_ratio_clip)
@@ -548,6 +605,7 @@ def sample_bimodal_guided(
     grad_scale: str = "const",
     grad_t_max: float = 1.0,
     fm_pair_fn: Optional[Callable] = None,
+    solver: str = "euler",
 ):
     """Convenience wrapper with the reference's argument surface
     (flow_utils.py:178-213). Returns (samples_x, samples_y) NHWC in [-1,1]-ish.
@@ -567,6 +625,7 @@ def sample_bimodal_guided(
         grad_strength=grad_strength,
         grad_scale=grad_scale,
         grad_t_max=grad_t_max,
+        solver=solver,
     )
     sampler = jax.jit(
         make_guided_sampler(fm_x_fn, fm_y_fn, cfg, log_ratio_fn,
