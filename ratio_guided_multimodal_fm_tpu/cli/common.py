@@ -74,6 +74,17 @@ def add_solver_flag(p: argparse.ArgumentParser):
                         "with guidance), 'heun' (2nd order, unguided only)")
 
 
+def add_reflow_flag(p: argparse.ArgumentParser):
+    """--reflow for every sampler-facing CLI: load the reflow-distilled
+    flow checkpoints (cli/reflow.py writes them next to the teachers with
+    a `_reflow` name part). Combine with `--num_steps 8` or `--solver
+    midpoint --num_steps 4` — the straightened flows keep teacher quality
+    at a fraction of the velocity evals (docs/results_r3/reflow_study.json)."""
+    p.add_argument("--reflow", action="store_true",
+                   help="use the reflow-distilled flows "
+                        "(checkpoints/flow_*_reflow_best; see cli/reflow.py)")
+
+
 def arm_preemption():
     """Train-CLI startup hook: route SIGTERM to the preemption flag so a
     signal landing before the epoch driver's PreemptionGuard (data

@@ -17,6 +17,7 @@ import numpy as np
 from ratio_guided_multimodal_fm_tpu.cli.common import (
     dtype_of,
     add_common_flags,
+    add_reflow_flag,
     add_solver_flag,
     fm_model,
     load_params_or_exit,
@@ -54,6 +55,7 @@ def main(argv=None):
     parser.add_argument("--num_samples", type=int, default=500)
     parser.add_argument("--num_steps", type=int, default=100)
     add_solver_flag(parser)
+    add_reflow_flag(parser)
     parser.add_argument("--model", type=str, default="unet",
                         choices=["unet", "original"])
     parser.add_argument("--ratio_clip", type=float, default=None,
@@ -115,8 +117,9 @@ def main(argv=None):
     model = fm_model(args.model, dtype=dtype_of(args))
     init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1)),
                       jnp.zeros((1,)))
-    path_x = get_checkpoint_path("flow", "x", None, "best")
-    path_y = get_checkpoint_path("flow", "y", args.transform_type, "best")
+    rf = "reflow" if args.reflow else None
+    path_x = get_checkpoint_path("flow", "x", None, rf, "best")
+    path_y = get_checkpoint_path("flow", "y", args.transform_type, rf, "best")
     params_x = load_params_or_exit(path_x, init["params"], "FM_x", "")
     params_y = load_params_or_exit(path_y, init["params"], "FM_y", "")
     fm_pair = maybe_merged_pair_fn(model, model, params_x, params_y, args)

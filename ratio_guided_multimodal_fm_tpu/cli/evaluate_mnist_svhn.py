@@ -15,6 +15,7 @@ import numpy as np
 
 from ratio_guided_multimodal_fm_tpu.cli.common import (
     add_common_flags,
+    add_reflow_flag,
     add_solver_flag,
     load_params_or_exit,
     velocity_fn,
@@ -56,6 +57,7 @@ def main(argv=None):
     parser.add_argument("--num_samples", type=int, default=500)
     parser.add_argument("--num_steps", type=int, default=100)
     add_solver_flag(parser)
+    add_reflow_flag(parser)
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples")
     parser.add_argument("--grad_strength", type=float, default=None,
@@ -117,7 +119,8 @@ def main(argv=None):
     from ratio_guided_multimodal_fm_tpu.cli.common import dtype_of
     need_ratio = any(m != "none" for m in args.guidance_methods)
     fm_m, params_m, fm_s, params_s, log_ratio = load_mnist_svhn_models(
-        args.loss_type, need_ratio, dtype=dtype_of(args))
+        args.loss_type, need_ratio, dtype=dtype_of(args),
+        reflow=args.reflow)
 
     real_m = real_s = None
     if args.fid:

@@ -14,6 +14,7 @@ import jax
 from ratio_guided_multimodal_fm_tpu.cli.common import (
     dtype_of,
     add_common_flags,
+    add_reflow_flag,
     add_solver_flag,
     fm_model,
     load_params_or_exit,
@@ -42,6 +43,7 @@ def main(argv=None):
     parser.add_argument("--num_samples", type=int, default=64)
     parser.add_argument("--num_steps", type=int, default=100)
     add_solver_flag(parser)
+    add_reflow_flag(parser)
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples (guards against "
                              "saturated-discriminator weight collapse)")
@@ -66,8 +68,9 @@ def main(argv=None):
                       jax.numpy.zeros((1, 28, 28, 1)), jax.numpy.zeros((1,)))
     template = init["params"]
 
-    path_x = get_checkpoint_path("flow", "x", None, "best")
-    path_y = get_checkpoint_path("flow", "y", args.transform_type, "best")
+    rf = "reflow" if args.reflow else None
+    path_x = get_checkpoint_path("flow", "x", None, rf, "best")
+    path_y = get_checkpoint_path("flow", "y", args.transform_type, rf, "best")
     params_x = load_params_or_exit(
         path_x, template, "FM_x",
         "Please train FM_x first: python -m "

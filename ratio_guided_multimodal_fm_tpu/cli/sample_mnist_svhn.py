@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from ratio_guided_multimodal_fm_tpu.cli.common import (
     add_common_flags,
+    add_reflow_flag,
     add_solver_flag,
     load_params_or_exit,
     velocity_fn,
@@ -31,8 +32,13 @@ from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
 )
 
 
-def load_mnist_svhn_models(loss_type: str, need_ratio: bool, dtype=None):
-    """Load FM_mnist32 + FM_svhn (+ ratio) from reference-named checkpoints."""
+def load_mnist_svhn_models(loss_type: str, need_ratio: bool, dtype=None,
+                           reflow: bool = False):
+    """Load FM_mnist32 + FM_svhn (+ ratio) from reference-named checkpoints.
+
+    reflow=True loads the reflow-distilled flows (cli/reflow.py) for
+    few-step sampling; the ratio estimator is shared (it only ever sees
+    terminal-time samples)."""
     import jax.numpy as jnp
 
     kw = {"dtype": dtype} if dtype is not None else {}
@@ -43,14 +49,19 @@ def load_mnist_svhn_models(loss_type: str, need_ratio: bool, dtype=None):
     init_s = fm_svhn.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
                           jnp.zeros((1,)))
 
+    rf = "_reflow" if reflow else ""
     params_m = load_params_or_exit(
-        "checkpoints/flow_mnist32_best", init_m["params"], "FM_mnist",
+        f"checkpoints/flow_mnist32{rf}_best", init_m["params"], "FM_mnist",
         "Please train first: python -m "
-        "ratio_guided_multimodal_fm_tpu.cli.train_flow_mnist32")
+        "ratio_guided_multimodal_fm_tpu.cli.train_flow_mnist32"
+        + (" then distill: python -m ratio_guided_multimodal_fm_tpu.cli."
+           "reflow --experiment mnist_svhn --flow mnist32" if reflow else ""))
     params_s = load_params_or_exit(
-        "checkpoints/flow_svhn_best", init_s["params"], "FM_svhn",
+        f"checkpoints/flow_svhn{rf}_best", init_s["params"], "FM_svhn",
         "Please train first: python -m "
-        "ratio_guided_multimodal_fm_tpu.cli.train_flow_svhn")
+        "ratio_guided_multimodal_fm_tpu.cli.train_flow_svhn"
+        + (" then distill: python -m ratio_guided_multimodal_fm_tpu.cli."
+           "reflow --experiment mnist_svhn --flow svhn" if reflow else ""))
 
     ratio = log_ratio = None
     if need_ratio:
@@ -82,6 +93,7 @@ def main(argv=None):
     parser.add_argument("--num_samples", type=int, default=32)
     parser.add_argument("--num_steps", type=int, default=100)
     add_solver_flag(parser)
+    add_reflow_flag(parser)
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples")
     parser.add_argument("--ess_floor", type=float, default=None,
@@ -99,7 +111,8 @@ def main(argv=None):
 
     from ratio_guided_multimodal_fm_tpu.cli.common import dtype_of
     fm_m, params_m, fm_s, params_s, log_ratio = load_mnist_svhn_models(
-        args.loss_type, args.guidance_method != "none", dtype=dtype_of(args))
+        args.loss_type, args.guidance_method != "none", dtype=dtype_of(args),
+        reflow=args.reflow)
 
     print(f"\nSampling {args.num_samples} pairs "
           f"(method={args.guidance_method}, gamma={args.guidance_strength})")

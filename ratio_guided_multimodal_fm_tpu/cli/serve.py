@@ -325,8 +325,10 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--num_steps", type=int, default=100)
     parser.add_argument("--mc_batch_size", type=int, default=256)
-    from ratio_guided_multimodal_fm_tpu.cli.common import add_solver_flag
+    from ratio_guided_multimodal_fm_tpu.cli.common import (
+        add_reflow_flag, add_solver_flag)
     add_solver_flag(parser)
+    add_reflow_flag(parser)
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
@@ -340,7 +342,7 @@ def main(argv=None):
         from ratio_guided_multimodal_fm_tpu.cli.common import velocity_fn
 
         fm_m, pm, fm_s, ps, log_ratio = load_mnist_svhn_models(
-            args.loss_type, True, dtype=dtype_of(args))
+            args.loss_type, True, dtype=dtype_of(args), reflow=args.reflow)
         service = SamplerService(
             velocity_fn(fm_m, pm), velocity_fn(fm_s, ps), log_ratio,
             (32, 32, 1), (32, 32, 3), args.batch_size, args.num_steps,
@@ -356,10 +358,12 @@ def main(argv=None):
         model = fm_model("unet", dtype=dtype_of(args))
         init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1)),
                           jnp.zeros((1,)))
-        px = load_params_or_exit(get_checkpoint_path("flow", "x", None, "best"),
-                                 init["params"], "FM_x", "train it first")
+        rf = "reflow" if args.reflow else None
+        px = load_params_or_exit(
+            get_checkpoint_path("flow", "x", None, rf, "best"),
+            init["params"], "FM_x", "train it first")
         py = load_params_or_exit(
-            get_checkpoint_path("flow", "y", args.transform_type, "best"),
+            get_checkpoint_path("flow", "y", args.transform_type, rf, "best"),
             init["params"], "FM_y", "train it first")
         ratio = RatioEstimatorMNIST(loss_type=args.loss_type)
         r_init = ratio.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1)),
