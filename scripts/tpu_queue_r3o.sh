@@ -53,6 +53,16 @@ evalstage() {
     && echo "saved $save"
 }
 
+# one more solver-study quality point: midpoint-12 benched at 875/s
+# (3.9x euler-100) — does quality hold without distillation?
+rm -f "$WD/outputs/evaluation_results.json"
+stage o_mid12 python -m $CLI.evaluate \
+    --transform_type rotate90 \
+    --guidance_methods none mc_feng --guidance_strengths 0 1 \
+    --num_samples 512 --dtype bf16 --solver midpoint --num_steps 12
+cp "$WD"/outputs/evaluation_results.json "$OUT/solver_eval_midpoint12.json" \
+  && echo "saved solver_eval_midpoint12.json"
+
 evalstage o_rf_eu8 reflow_eval_euler8.json \
     --reflow --solver euler --num_steps 8
 evalstage o_rf_mid4 reflow_eval_midpoint4.json \
@@ -67,6 +77,17 @@ evalstage o_t_eu8 reflow_eval_teacher_euler8.json \
 python - <<'EOF'
 import json, os
 out_dir = "docs/results_r3"
+# fold the midpoint-12 point into the solver study
+sp = os.path.join(out_dir, "solver_study.json")
+mp = os.path.join(out_dir, "solver_eval_midpoint12.json")
+if os.path.exists(sp) and os.path.exists(mp):
+    study0 = json.load(open(sp))
+    rows = json.load(open(mp))
+    study0["quality"]["midpoint12"] = {
+        f"{r['method']}_gamma{r['guidance_strength']}": r["coherence_acc"]
+        for r in rows}
+    json.dump(study0, open(sp, "w"), indent=2)
+
 study = {"workload": "exp-1 full-budget stack, rotate90, 512 samples, "
          "N_mc=256, bf16; students = 1-round reflow (20480 couplings, "
          "10 epochs, warm start)", "quality": {}}
