@@ -132,6 +132,27 @@ def _flops_of(batch: int):
     return guided_sampler_flops(batch, MC_BATCH, NUM_STEPS)
 
 
+def fast_operating_point() -> dict:
+    """The recommended FAST operating point (measured separately by
+    scripts/solver_bench.py on the same workload; quality parity shown in
+    docs/results_r3/solver_study.json). Copied into bench_details, not
+    re-timed — the headline stays on the reference's euler-100 protocol."""
+    sb = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "docs", "results_r3", "solver_bench.json")
+    if not os.path.exists(sb):
+        return {}
+    with open(sb) as f:
+        cfgs = json.load(f).get("configs", {})
+    if "midpoint-25" not in cfgs:
+        return {}
+    return {
+        "config": "--solver midpoint --num_steps 25",
+        **cfgs["midpoint-25"],
+        "quality": "guided coherence 0.832 vs euler-100's 0.824 "
+                   "(n=512, within noise) — solver_study.json",
+    }
+
+
 def run_tpu_bench() -> dict:
     import jax
 
@@ -275,6 +296,9 @@ def run_tpu_bench() -> dict:
         "value": headline,
         "mfu_pct": mfu.get(f"B={HEADLINE_B}"),
     }
+    fp = fast_operating_point()
+    if fp:
+        details["fast_operating_point"] = fp
     details["date"] = time.strftime("%Y-%m-%d")
     with open(DETAILS_FILE, "w") as f:
         json.dump(details, f, indent=2)
