@@ -72,6 +72,16 @@ def add_solver_flag(p: argparse.ArgumentParser):
                    help="ODE integrator: 'euler' (reference protocol), "
                         "'midpoint' (2 evals/step, 2nd order; composes "
                         "with guidance), 'heun' (2nd order, unguided only)")
+    p.add_argument("--time_grid", type=str, default="uniform",
+                   choices=["uniform", "late", "early", "cosine"],
+                   help="ODE step placement (flow/cfm.py:make_time_grid): "
+                        "'uniform' (reference grid), 'late' (dense near "
+                        "t=1, where the flow and the guidance field "
+                        "stiffen), 'early', 'cosine'. Free accuracy knob "
+                        "at a fixed velocity-eval budget")
+    p.add_argument("--grid_power", type=float, default=2.0,
+                   help="warp exponent for --time_grid late/early "
+                        "(g(s)=1-(1-s)^p / s^p)")
 
 
 def add_reflow_flag(p: argparse.ArgumentParser):
@@ -242,15 +252,20 @@ def load_params_or_exit(path: str, template, what: str, hint: str):
     return load_params(path, template)
 
 
-def summarize_diagnostics(diags, num_steps: int) -> list:
+def summarize_diagnostics(diags, num_steps: int,
+                          time_grid: str = "uniform",
+                          grid_power: float = 2.0) -> list:
     """Per-step summary rows from the sampler's stacked diagnostics
-    (arrays of shape [T] or [T, B])."""
+    (arrays of shape [T] or [T, B]). `time_grid` labels each row with the
+    ACTUAL step time (non-uniform grids, flow/cfm.py:make_time_grid)."""
     if not diags:
         return []
+    from ratio_guided_multimodal_fm_tpu.flow.cfm import make_time_grid
+    ts = np.asarray(make_time_grid(num_steps, time_grid, grid_power)[0])
     d = {k: np.asarray(v) for k, v in diags.items()}
     rows = []
     for s in range(num_steps):
-        row = {"step": s, "t": round(s / num_steps, 4)}
+        row = {"step": s, "t": round(float(ts[s]), 4)}
         for k, v in sorted(d.items()):
             if v.ndim == 1:
                 row[k] = float(v[s])
@@ -262,13 +277,14 @@ def summarize_diagnostics(diags, num_steps: int) -> list:
 
 
 def report_guidance_diagnostics(diags, num_steps: int, save_path=None,
-                                log_fn=print) -> list:
+                                log_fn=print, time_grid: str = "uniform",
+                                grid_power: float = 2.0) -> list:
     """Print guidance diagnostics at ~30% marks — parity+ with the
     reference's mid-trajectory prints (flow_utils.py:349-363) — and
     optionally save the full per-step trace as JSON. The headline addition
     over the reference is the effective sample size (ESS) of the importance
     weights: ESS → 1 is the weight-collapse failure mode."""
-    rows = summarize_diagnostics(diags, num_steps)
+    rows = summarize_diagnostics(diags, num_steps, time_grid, grid_power)
     if not rows:
         return rows
     stride = max(1, int(0.3 * num_steps))

@@ -174,7 +174,9 @@ def main(argv=None):
                         fm_x, fm_y, _lr, k,
                         args.mc_batch_size, (28, 28, 1), (28, 28, 1),
                         args.num_steps, log_ratio_clip=args.ratio_clip,
-                        fm_pair_fn=fm_pair, solver=args.solver)
+                        fm_pair_fn=fm_pair, solver=args.solver,
+                        time_grid=args.time_grid,
+                        grid_power=args.grid_power)
 
             # ONE jitted sampler per (method, strength), reused by every
             # chunk (identical shapes at the default equal-split) — not a
@@ -187,7 +189,8 @@ def main(argv=None):
                 ess_floor=args.ess_floor,
                 grad_strength=args.grad_strength,
                 grad_scale=args.grad_scale, grad_t_max=args.grad_t_max,
-                solver=args.solver)
+                solver=args.solver, time_grid=args.time_grid,
+                grid_power=args.grid_power)
             sampler = jax.jit(
                 make_guided_sampler(fm_x, fm_y, cfg, log_ratio,
                                     fm_pair_fn=fm_pair),
@@ -202,7 +205,9 @@ def main(argv=None):
                 eval_chunks=args.eval_chunks,
                 auto_chunks=args.auto_chunks,
                 mc_cache=mc_cache.setdefault(method, {}))
-            report_guidance_diagnostics(merged_diags, args.num_steps)
+            report_guidance_diagnostics(merged_diags, args.num_steps,
+                                        time_grid=args.time_grid,
+                                        grid_power=args.grid_power)
 
             metrics = evaluate_coherence(samples_x, samples_y, classify,
                                          args.transform_type)

@@ -153,7 +153,8 @@ def main(argv=None):
                         v_m, v_s, _lr, k,
                         args.mc_batch_size, (32, 32, 1), (32, 32, 3),
                         args.num_steps, log_ratio_clip=args.ratio_clip,
-                        solver=args.solver)
+                        solver=args.solver, time_grid=args.time_grid,
+                        grid_power=args.grid_power)
 
             # ONE jitted sampler per (method, strength), reused by every
             # chunk — not a fresh trace per chunk.
@@ -165,7 +166,8 @@ def main(argv=None):
                 ess_floor=args.ess_floor,
                 grad_strength=args.grad_strength,
                 grad_scale=args.grad_scale, grad_t_max=args.grad_t_max,
-                solver=args.solver)
+                solver=args.solver, time_grid=args.time_grid,
+                grid_power=args.grid_power)
             sampler = jax.jit(
                 make_guided_sampler(
                     v_m, v_s, cfg,
@@ -184,7 +186,9 @@ def main(argv=None):
             from ratio_guided_multimodal_fm_tpu.cli.common import (
                 report_guidance_diagnostics,
             )
-            report_guidance_diagnostics(merged_diags, args.num_steps)
+            report_guidance_diagnostics(merged_diags, args.num_steps,
+                                        time_grid=args.time_grid,
+                                        grid_power=args.grid_power)
 
             metrics = evaluate_coherence_dual(samples_x, samples_y,
                                               classify_m, classify_s)

@@ -117,7 +117,8 @@ def main(argv=None):
         mc_batch_size=args.mc_batch_size,
         x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key,
         log_ratio_clip=args.ratio_clip, ess_floor=args.ess_floor,
-        solver=args.solver,
+        solver=args.solver, time_grid=args.time_grid,
+        grid_power=args.grid_power,
         return_diagnostics=True)
 
     os.makedirs("outputs", exist_ok=True)
@@ -125,7 +126,8 @@ def main(argv=None):
            f"_gamma{args.guidance_strength}_{args.transform_type}")
     report_guidance_diagnostics(
         diags, args.num_steps,
-        save_path=f"outputs/diagnostics_{tag}.json")
+        save_path=f"outputs/diagnostics_{tag}.json",
+        time_grid=args.time_grid, grid_power=args.grid_power)
     save_path = f"outputs/samples_{tag}.png"
     visualize_pairs(samples_x, samples_y, save_path, args.transform_type)
     print("\nSampling complete!")

@@ -125,7 +125,8 @@ def main(argv=None):
         mc_batch_size=args.mc_batch_size,
         x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=key,
         log_ratio_clip=args.ratio_clip, ess_floor=args.ess_floor,
-        solver=args.solver,
+        solver=args.solver, time_grid=args.time_grid,
+        grid_power=args.grid_power,
         return_diagnostics=True)
 
     os.makedirs("outputs/mnist_svhn", exist_ok=True)
@@ -135,7 +136,8 @@ def main(argv=None):
     report_guidance_diagnostics(
         diags, args.num_steps,
         save_path=(f"outputs/mnist_svhn/diagnostics_{args.guidance_method}"
-                   f"_gamma{args.guidance_strength}.json"))
+                   f"_gamma{args.guidance_strength}.json"),
+        time_grid=args.time_grid, grid_power=args.grid_power)
     save_path = (f"outputs/mnist_svhn/samples_{args.guidance_method}"
                  f"_gamma{args.guidance_strength}.png")
     visualize_pairs_mnist_svhn(samples_x, samples_y, save_path)

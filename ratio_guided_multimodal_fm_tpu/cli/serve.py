@@ -72,12 +72,15 @@ class SamplerService:
     def __init__(self, fm_x_fn, fm_y_fn, log_ratio_fn, x_shape, y_shape,
                  batch_size=64, num_steps=100, mc_batch_size=256, seed=0,
                  linger_ms: float = 10.0, fm_pair_fn=None,
-                 solver: str = "euler"):
+                 solver: str = "euler", time_grid: str = "uniform",
+                 grid_power: float = 2.0):
         self.batch_size = batch_size
         self.x_shape = tuple(x_shape)
         self.y_shape = tuple(y_shape)
         self.num_steps = num_steps
         self.solver = solver
+        self.time_grid = time_grid
+        self.grid_power = grid_power
         self._samplers = {}
         self._fm_x, self._fm_y, self._log_ratio = fm_x_fn, fm_y_fn, log_ratio_fn
         self._fm_pair = fm_pair_fn  # merged-pair evaluation (models/merged.py)
@@ -86,7 +89,8 @@ class SamplerService:
             self._mc_set = generate_mc_set(
                 fm_x_fn, fm_y_fn, log_ratio_fn, jax.random.PRNGKey(seed),
                 mc_batch_size, self.x_shape, self.y_shape, num_steps,
-                fm_pair_fn=fm_pair_fn, solver=solver)
+                fm_pair_fn=fm_pair_fn, solver=solver, time_grid=time_grid,
+                grid_power=grid_power)
             # np.asarray readback = real barrier (block_until_ready
             # returns early on the axon TPU backend); keeps the MC set
             # materialized before the server accepts traffic.
@@ -139,7 +143,8 @@ class SamplerService:
                 guidance_method=method, guidance_strength=float(strength),
                 num_steps=self.num_steps, mc_batch_size=self.mc_batch_size,
                 x_shape=self.x_shape, y_shape=self.y_shape,
-                solver=self.solver)
+                solver=self.solver, time_grid=self.time_grid,
+                grid_power=self.grid_power)
             self._samplers[key] = jax.jit(
                 make_guided_sampler(self._fm_x, self._fm_y, cfg,
                                     self._log_ratio,
@@ -346,7 +351,8 @@ def main(argv=None):
         service = SamplerService(
             velocity_fn(fm_m, pm), velocity_fn(fm_s, ps), log_ratio,
             (32, 32, 1), (32, 32, 3), args.batch_size, args.num_steps,
-            args.mc_batch_size, args.seed, solver=args.solver)
+            args.mc_batch_size, args.seed, solver=args.solver,
+            time_grid=args.time_grid, grid_power=args.grid_power)
     else:
         import jax.numpy as jnp
         from ratio_guided_multimodal_fm_tpu.cli.common import (
@@ -380,7 +386,8 @@ def main(argv=None):
             (28, 28, 1), (28, 28, 1), args.batch_size, args.num_steps,
             args.mc_batch_size, args.seed,
             fm_pair_fn=maybe_merged_pair_fn(model, model, px, py, args),
-            solver=args.solver)
+            solver=args.solver, time_grid=args.time_grid,
+            grid_power=args.grid_power)
 
     print("Warming up (compiling samplers)...")
     service.warmup(("none", "mc_feng"))

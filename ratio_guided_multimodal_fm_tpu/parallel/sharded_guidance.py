@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ratio_guided_multimodal_fm_tpu.flow.cfm import ode_scan
+from ratio_guided_multimodal_fm_tpu.flow.cfm import make_time_grid, ode_scan
 from ratio_guided_multimodal_fm_tpu.sample.guided import (
     GuidedSamplerConfig,
     _make_guided_step,
@@ -103,8 +103,10 @@ def make_distributed_guided_sampler_p(
                                               mc_local, 0)
             y0 = jax.lax.dynamic_slice_in_dim(y0_full, mi * mc_local,
                                               mc_local, 0)
-            mc_x1 = ode_scan(fm_x_fn, x0, num_steps, solver=cfg.solver)
-            mc_y1 = ode_scan(fm_y_fn, y0, num_steps, solver=cfg.solver)
+            mc_x1 = ode_scan(fm_x_fn, x0, num_steps, solver=cfg.solver,
+                             grid=cfg.time_grid, grid_power=cfg.grid_power)
+            mc_y1 = ode_scan(fm_y_fn, y0, num_steps, solver=cfg.solver,
+                             grid=cfg.time_grid, grid_power=cfg.grid_power)
             log_r = log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32)
             if cfg.log_ratio_clip is not None:
                 log_r = jnp.clip(log_r, -cfg.log_ratio_clip,
@@ -113,8 +115,8 @@ def make_distributed_guided_sampler_p(
 
         step = _make_guided_step(fm_x_fn, fm_y_fn, cfg, log_ratio_fn,
                                  mc_set, mc_axis)
-        (x_t, y_t), _ = jax.lax.scan(step, (x_t, y_t),
-                                     jnp.arange(num_steps))
+        grid = make_time_grid(num_steps, cfg.time_grid, cfg.grid_power)
+        (x_t, y_t), _ = jax.lax.scan(step, (x_t, y_t), grid)
         return x_t, y_t
 
     _compiled: dict = {}

@@ -58,7 +58,8 @@ import jax.numpy as jnp
 
 from ratio_guided_multimodal_fm_tpu.core.guards import check_finite
 from ratio_guided_multimodal_fm_tpu.flow.cfm import (
-    SOLVERS, euler_scan, euler_scan_pair, ode_scan, ode_scan_pair)
+    SOLVERS, TIME_GRIDS, euler_scan, euler_scan_pair, make_time_grid,
+    ode_scan, ode_scan_pair)
 
 EPS_T = 1e-3  # guidance gate / sigma floor, matches ref flow_utils.py:224,279
 
@@ -250,6 +251,15 @@ class GuidedSamplerConfig:
     # with guidance. Kept LAST in the dataclass: callers construct
     # configs positionally up through the reference-parity fields.
     solver: str = "euler"
+    # Step placement for BOTH the MC phase and the main loop
+    # (flow/cfm.py:make_time_grid): 'uniform' (reference grid, bit-exact),
+    # 'late' (dense near t=1 — where the interpolant sharpens AND the
+    # mc_feng conditional velocity (x1-x_t)/(1-t) stiffens), 'early',
+    # 'cosine'. At a fixed velocity-eval budget, step placement is a free
+    # accuracy knob (docs/results_r3/timegrid_study.json).
+    time_grid: str = "uniform"
+    # Warp exponent for 'late'/'early' grids (g(s)=1-(1-s)^p / s^p).
+    grid_power: float = 2.0
 
 
 def _resolve_pallas(cfg: "GuidedSamplerConfig",
@@ -298,7 +308,6 @@ def _make_guided_step(
     higher-order correction applies to the guidance term too."""
     method = cfg.guidance_method
     gamma = cfg.guidance_strength
-    dt = 1.0 / cfg.num_steps
     guided = method != "none" and log_ratio_fn is not None
     use_mc = guided and method in ("mc_feng", "mc_feng+grad")
     use_grad = guided and method in ("grad", "mc_feng+grad")
@@ -307,6 +316,9 @@ def _make_guided_step(
     if cfg.solver not in SOLVERS:
         raise ValueError(f"solver must be one of {SOLVERS}, "
                          f"got {cfg.solver!r}")
+    if cfg.time_grid not in TIME_GRIDS:
+        raise ValueError(f"time_grid must be one of {TIME_GRIDS}, "
+                         f"got {cfg.time_grid!r}")
     if cfg.solver == "heun" and guided:
         raise ValueError(
             "solver='heun' is unguided-only: its endpoint eval at t=1.0 "
@@ -380,9 +392,12 @@ def _make_guided_step(
 
         return v_x, v_y, diag
 
-    def step(carry, i):
+    def step(carry, tdt):
+        # xs row from make_time_grid(cfg.num_steps, cfg.time_grid,
+        # cfg.grid_power): (t_i, dt_i) — both scan call sites (below and
+        # parallel/sharded_guidance.py) feed the same grid.
         x_t, y_t = carry
-        t = i * dt
+        t, dt = tdt
         v_x, v_y, diag = mixed_velocity(x_t, y_t, t)
         if cfg.solver == "midpoint":
             # Re-evaluate the full mixed field (guidance included) at the
@@ -441,6 +456,9 @@ def make_guided_sampler_p(
     if cfg.solver not in SOLVERS:
         raise ValueError(f"solver must be one of {SOLVERS}, "
                          f"got {cfg.solver!r}")
+    if cfg.time_grid not in TIME_GRIDS:
+        raise ValueError(f"time_grid must be one of {TIME_GRIDS}, "
+                         f"got {cfg.time_grid!r}")
     if cfg.solver == "heun" and guided:
         raise ValueError(
             "solver='heun' is unguided-only: its endpoint eval at t=1.0 "
@@ -486,14 +504,20 @@ def make_guided_sampler_p(
                 mc_x1, mc_y1 = ode_scan_pair(fm_pair_fn, x0, y0,
                                              num_steps,
                                              unroll=cfg.scan_unroll,
-                                             solver=cfg.solver)
+                                             solver=cfg.solver,
+                                             grid=cfg.time_grid,
+                                             grid_power=cfg.grid_power)
             else:
                 mc_x1 = ode_scan(fm_x_fn, x0, num_steps,
                                  unroll=cfg.scan_unroll,
-                                 solver=cfg.solver)
+                                 solver=cfg.solver,
+                                 grid=cfg.time_grid,
+                                 grid_power=cfg.grid_power)
                 mc_y1 = ode_scan(fm_y_fn, y0, num_steps,
                                  unroll=cfg.scan_unroll,
-                                 solver=cfg.solver)
+                                 solver=cfg.solver,
+                                 grid=cfg.time_grid,
+                                 grid_power=cfg.grid_power)
             log_r = log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32)
             if cfg.log_ratio_clip is not None:
                 log_r = jnp.clip(log_r, -cfg.log_ratio_clip,
@@ -502,8 +526,8 @@ def make_guided_sampler_p(
 
         step = _make_guided_step(fm_x_fn, fm_y_fn, cfg, log_ratio_fn,
                                  mc_set, mc_axis, fm_pair_fn=fm_pair_fn)
-        (x_t, y_t), diags = jax.lax.scan(step, (x_t, y_t),
-                                         jnp.arange(num_steps),
+        grid = make_time_grid(num_steps, cfg.time_grid, cfg.grid_power)
+        (x_t, y_t), diags = jax.lax.scan(step, (x_t, y_t), grid,
                                          unroll=cfg.scan_unroll)
         return x_t, y_t, diags
 
@@ -554,6 +578,8 @@ def generate_mc_set(
     log_ratio_clip: Optional[float] = None,
     fm_pair_fn: Optional[Callable] = None,
     solver: str = "euler",
+    time_grid: str = "uniform",
+    grid_power: float = 2.0,
 ):
     """Generate the Monte-Carlo guidance set once: (mc_x1, mc_y1, mc_ratios).
 
@@ -572,13 +598,13 @@ def generate_mc_set(
         y0 = jax.random.normal(kmy, (mc_batch_size,) + tuple(y_shape),
                                jnp.float32)
         mc_x1, mc_y1 = jax.jit(
-            ode_scan_pair, static_argnums=(0, 3, 4, 5))(
-            fm_pair_fn, x0, y0, num_steps, 1, solver)
+            ode_scan_pair, static_argnums=(0, 3, 4, 5, 6, 7))(
+            fm_pair_fn, x0, y0, num_steps, 1, solver, time_grid, grid_power)
     else:
         mc_x1 = euler_sample(fm_x_fn, kmx, (mc_batch_size,) + tuple(x_shape),
-                             num_steps, solver)
+                             num_steps, solver, time_grid, grid_power)
         mc_y1 = euler_sample(fm_y_fn, kmy, (mc_batch_size,) + tuple(y_shape),
-                             num_steps, solver)
+                             num_steps, solver, time_grid, grid_power)
     log_r = log_ratio_fn(mc_x1, mc_y1).astype(jnp.float32)
     if log_ratio_clip is not None:
         log_r = jnp.clip(log_r, -log_ratio_clip, log_ratio_clip)
@@ -606,6 +632,8 @@ def sample_bimodal_guided(
     grad_t_max: float = 1.0,
     fm_pair_fn: Optional[Callable] = None,
     solver: str = "euler",
+    time_grid: str = "uniform",
+    grid_power: float = 2.0,
 ):
     """Convenience wrapper with the reference's argument surface
     (flow_utils.py:178-213). Returns (samples_x, samples_y) NHWC in [-1,1]-ish.
@@ -626,6 +654,8 @@ def sample_bimodal_guided(
         grad_scale=grad_scale,
         grad_t_max=grad_t_max,
         solver=solver,
+        time_grid=time_grid,
+        grid_power=grid_power,
     )
     sampler = jax.jit(
         make_guided_sampler(fm_x_fn, fm_y_fn, cfg, log_ratio_fn,
