@@ -143,6 +143,13 @@ def fast_operating_point() -> dict:
         return {}
     with open(sb) as f:
         cfgs = json.load(f).get("configs", {})
+    if "midpoint-12" in cfgs:
+        return {
+            "config": "--solver midpoint --num_steps 12",
+            **cfgs["midpoint-12"],
+            "quality": "guided coherence 0.828 vs euler-100's 0.824 "
+                       "(n=512, within noise) — solver_study.json",
+        }
     if "midpoint-25" not in cfgs:
         return {}
     return {

@@ -15,7 +15,10 @@ def test_fast_operating_point_merges_solver_bench():
                                        "solver_bench.json")):
         assert fp == {}
         return
-    assert fp["config"] == "--solver midpoint --num_steps 25"
+    # midpoint-12 (0.828 at 3.86x, solver_study.json) preferred when its
+    # bench row exists; midpoint-25 is the fallback
+    assert fp["config"] in ("--solver midpoint --num_steps 12",
+                            "--solver midpoint --num_steps 25")
     assert fp["samples_per_sec"] > 0
     assert fp["velocity_evals_per_step"] == 2
     json.dumps(fp)  # serializable into bench_details
