@@ -1,0 +1,80 @@
+#!/bin/bash
+# Round-3r TPU queue: time-grid counterpoint stages. r3q showed 'late'
+# wins big for euler-25 (+0.082) but loses for euler-8 (-0.119) and is
+# noise-negative for midpoint — story: late-t truncation binds Euler at
+# moderate budgets, early coverage binds few-step sampling. Counterpoints:
+#   * euler-8 'early'  — if early coverage is what few-step guided
+#     sampling needs, this should beat 'late' (and maybe uniform).
+#   * euler-25 'cosine' — dense BOTH ends; if late's win is purely the
+#     t→1 end, cosine should match or beat 'late' at the same budget.
+#   * euler-25 late power-3 — is the late win monotone in warp strength?
+# -> docs/results_r3/timegrid_eval_*.json, merged into timegrid_study.json
+set -u
+cd "$(dirname "$0")/.."
+REPO=$(pwd)
+export PYTHONPATH=$REPO:${PYTHONPATH:-}
+echo $$ > /tmp/tpu_queue_r3r.pid
+WD=$REPO/parity_runs/exp1_full
+STAGE=$REPO/scripts/tpu_run_stage.sh
+CLI=ratio_guided_multimodal_fm_tpu.cli
+OUT=$REPO/docs/results_r3
+
+preflight() {
+  for i in $(seq 1 30); do
+    if timeout 60 python -c "import jax,jax.numpy as jnp; (jnp.ones((8,8))@jnp.ones((8,8))).block_until_ready()" >/dev/null 2>&1; then
+      echo "preflight ok ($1)"; return 0
+    fi
+    echo "preflight retry $i ($1)"; sleep 30
+  done
+  echo "preflight FAILED ($1)"; return 1
+}
+
+stage() {
+  local name=$1; shift
+  preflight "$name" || exit 1
+  bash "$STAGE" "$name" "$WD" "$@" || { echo "stage $name FAILED"; exit 1; }
+  sleep 150
+}
+
+evalstage() {
+  local name=$1 save=$2; shift 2
+  rm -f "$WD/outputs/evaluation_results.json"
+  stage "$name" python -m $CLI.evaluate \
+      --transform_type rotate90 \
+      --guidance_methods none mc_feng --guidance_strengths 0 1 \
+      --num_samples 512 --dtype bf16 "$@"
+  cp "$WD"/outputs/evaluation_results.json "$OUT/$save" \
+    && echo "saved $save"
+}
+
+evalstage r_eu8_early timegrid_eval_euler8_early.json \
+    --solver euler --num_steps 8 --time_grid early
+evalstage r_eu25_cos timegrid_eval_euler25_cosine.json \
+    --solver euler --num_steps 25 --time_grid cosine
+evalstage r_eu25_late3 timegrid_eval_euler25_late_p3.json \
+    --solver euler --num_steps 25 --time_grid late --grid_power 3.0
+
+python - <<'EOF'
+import json, os
+out = "docs/results_r3"
+
+def q(path):
+    rows = json.load(open(os.path.join(out, path)))
+    return {f"{r['method']}_gamma{r['guidance_strength']}":
+            r["coherence_acc"] for r in rows}
+
+sp = os.path.join(out, "timegrid_study.json")
+study = json.load(open(sp))
+for tag, path in [
+    ("euler8_early", "timegrid_eval_euler8_early.json"),
+    ("euler25_cosine", "timegrid_eval_euler25_cosine.json"),
+    ("euler25_late_p3", "timegrid_eval_euler25_late_p3.json"),
+]:
+    p = os.path.join(out, path)
+    if os.path.exists(p):
+        study["quality"][tag] = q(p)
+with open(sp, "w") as f:
+    json.dump(study, f, indent=2)
+print("timegrid_study.json:", json.dumps(study["quality"], indent=1))
+EOF
+echo "QUEUE_R3R DONE"
