@@ -59,7 +59,7 @@ import json, os
 out = "docs/results_r3"
 
 def q(path):
-    rows = json.load(open(os.path.join(out, path)))
+    rows = json.load(open(os.path.join(out, os.path.basename(path))))
     return {f"{r['method']}_gamma{r['guidance_strength']}":
             r["coherence_acc"] for r in rows}
 
