@@ -104,3 +104,34 @@ def test_concurrent_requests_coalesce():
     # per-request reproducibility: same seed again -> identical samples
     x_again, _, _ = svc.sample(2, "mc_feng", 0.5, seed=100)
     np.testing.assert_array_equal(x_again, results[0][0])
+
+
+def test_solver_and_time_grid_reach_serving():
+    """The fast-operating-point knobs (--solver/--time_grid) are wired
+    through SamplerService: on the linear field v(x) = -c*x the served
+    endpoints obey each solver's closed-form per-step factor exactly
+    (same request seed => identical initial noise, serve.py draws it
+    from PRNGKey(seed) before dispatch)."""
+    c = 0.1
+    fm = lambda x, t: -c * x
+    lr = lambda x, y: jnp.zeros(x.shape[0])
+
+    def svc(**kw):
+        return SamplerService(fm, fm, lr, (6, 6, 1), (6, 6, 1),
+                              batch_size=8, num_steps=4, mc_batch_size=8,
+                              **kw)
+
+    x_eu, _, _ = svc().sample(8, "none", 0.0, seed=5)
+    x_mid, _, _ = svc(solver="midpoint").sample(8, "none", 0.0, seed=5)
+    dt = 0.25
+    f_eu = (1 - c * dt) ** 4
+    # midpoint on a linear field: x <- x * (1 - c*dt + (c*dt)^2 / 2)
+    f_mid = (1 - c * dt + (c * dt) ** 2 / 2) ** 4
+    np.testing.assert_allclose(x_mid, x_eu * (f_mid / f_eu), rtol=1e-5)
+
+    from ratio_guided_multimodal_fm_tpu.flow.cfm import make_time_grid
+
+    _, dts = make_time_grid(4, "early", power=2.0)
+    f_early = float(np.prod(1.0 - c * np.asarray(dts)))
+    x_ear, _, _ = svc(time_grid="early").sample(8, "none", 0.0, seed=5)
+    np.testing.assert_allclose(x_ear, x_eu * (f_early / f_eu), rtol=1e-5)
