@@ -23,12 +23,14 @@ import time
 import urllib.request
 
 PORT = 8811
-RUN_DIR = os.environ.get("SERVE_RUN_DIR", "parity_runs/jax")
+RUN_DIR = os.environ.get("SERVE_RUN_DIR", "serve_run")
 TRANSFORM = os.environ.get("SERVE_TRANSFORM", "rotate90")
 WORKERS = int(os.environ.get("SERVE_WORKERS", "8"))
 REQS_PER_WORKER = int(os.environ.get("SERVE_REQS", "4"))
 N_PER_REQ = int(os.environ.get("SERVE_N_PER_REQ", "16"))
 SERVER_BATCH = int(os.environ.get("SERVE_BATCH", "64"))
+SOLVER = os.environ.get("SERVE_SOLVER", "euler")
+NUM_STEPS = int(os.environ.get("SERVE_STEPS", "100"))
 OUT_SUFFIX = os.environ.get("SERVE_OUT_SUFFIX", "")
 WARM_REQS = 2
 
@@ -56,7 +58,7 @@ def main():
         [sys.executable, "-m", "ratio_guided_multimodal_fm_tpu.cli.serve",
          "--experiment", "mnist_transform", "--transform_type", TRANSFORM,
          "--port", str(PORT), "--batch_size", str(SERVER_BATCH),
-         "--num_steps", "100",
+         "--num_steps", str(NUM_STEPS), "--solver", SOLVER,
          "--mc_batch_size", "256", "--dtype", "bf16"],
         cwd=os.path.join(repo, RUN_DIR), env=env,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
@@ -111,7 +113,8 @@ def main():
             "workload": {"workers": WORKERS,
                          "requests_per_worker": REQS_PER_WORKER,
                          "samples_per_request": N_PER_REQ,
-                         "method": "mc_feng gamma=0.5, 100 steps, warm MC set",
+                         "method": f"mc_feng gamma=0.5, {SOLVER}-{NUM_STEPS},"
+                                   f" warm MC set",
                          "experiment": f"mnist_transform/{TRANSFORM}",
                          "server_batch": SERVER_BATCH, "linger_ms": 10},
             "wall_sec": round(wall, 3),
