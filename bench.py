@@ -309,6 +309,7 @@ def run_tpu_bench() -> dict:
     details["date"] = time.strftime("%Y-%m-%d")
     with open(DETAILS_FILE, "w") as f:
         json.dump(details, f, indent=2)
+        f.write("\n")
     return details
 
 
@@ -426,6 +427,7 @@ def main():
                                      "in B) measured separately, both "
                                      "linear in num_steps"},
             }, f, indent=2)
+            f.write("\n")
         print(f"reference CPU baseline: {thr} {train} -> {BASELINE_FILE}")
         return
 

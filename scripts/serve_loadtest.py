@@ -1,6 +1,9 @@
 """Load-test the coalescing sampler server (cli/serve.py) on real TPU.
 
-Starts the server (exp-1 checkpoints, cwd = a parity run dir), waits for
+Starts the server against $SERVE_RUN_DIR (default `serve_run` — create it
+first with `python scripts/make_serve_run.py`; throughput/latency are
+weight-independent, so random-init checkpoints give valid numbers, or point
+it at any trained run dir), waits for
 /healthz, then fires CONCURRENT small requests — the workload the round-2
 verdict said serving was thin on — and reports client-side throughput plus
 the server's own coalescing stats (dispatches vs requests).
@@ -31,6 +34,7 @@ N_PER_REQ = int(os.environ.get("SERVE_N_PER_REQ", "16"))
 SERVER_BATCH = int(os.environ.get("SERVE_BATCH", "64"))
 SOLVER = os.environ.get("SERVE_SOLVER", "euler")
 NUM_STEPS = int(os.environ.get("SERVE_STEPS", "100"))
+TIME_GRID = os.environ.get("SERVE_TIME_GRID", "uniform")
 OUT_SUFFIX = os.environ.get("SERVE_OUT_SUFFIX", "")
 WARM_REQS = 2
 
@@ -59,6 +63,7 @@ def main():
          "--experiment", "mnist_transform", "--transform_type", TRANSFORM,
          "--port", str(PORT), "--batch_size", str(SERVER_BATCH),
          "--num_steps", str(NUM_STEPS), "--solver", SOLVER,
+         "--time_grid", TIME_GRID,
          "--mc_batch_size", "256", "--dtype", "bf16"],
         cwd=os.path.join(repo, RUN_DIR), env=env,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
@@ -113,8 +118,8 @@ def main():
             "workload": {"workers": WORKERS,
                          "requests_per_worker": REQS_PER_WORKER,
                          "samples_per_request": N_PER_REQ,
-                         "method": f"mc_feng gamma=0.5, {SOLVER}-{NUM_STEPS},"
-                                   f" warm MC set",
+                         "method": f"mc_feng gamma=0.5, {SOLVER}-{NUM_STEPS}"
+                                   f" ({TIME_GRID} grid), warm MC set",
                          "experiment": f"mnist_transform/{TRANSFORM}",
                          "server_batch": SERVER_BATCH, "linger_ms": 10},
             "wall_sec": round(wall, 3),
