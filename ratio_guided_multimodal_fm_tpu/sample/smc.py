@@ -1,0 +1,295 @@
+"""SMC (particle-filter) ratio-guided sampling — beyond-reference capability.
+
+The reference's only coupling mechanism is mc_feng (flow_utils.py:178-375):
+steer each trajectory toward an importance-weighted mix of a FIXED pool of
+N_mc pre-generated candidate pairs. Its measured pathology (ROUND2/ROUND3,
+docs/results_r3/frontier_*.json): the weights collapse to argmax within a
+few steps (trajectory ESS pins at 1), so guidance buys coherence by
+snapping samples onto <=N_mc candidates — a diversity/FID cost that grows
+with γ (classifier-FID 91 -> 376 as γ goes 0 -> 5 on the exp-1 full stack).
+
+This module implements the theoretically-consistent alternative: treat the
+B pairs being sampled as PARTICLES of a Feynman-Kac flow whose terminal
+target is the tempered coupled joint
+
+    π(x, y)  ∝  p_x(x) · p_y(y) · r̂(x, y)^γ        (γ=1: the true joint q)
+
+and sample it with sequential Monte Carlo:
+
+* **Proposal** — the two flow ODEs, made STOCHASTIC with a
+  marginal-preserving Langevin churn term. For the rectified-flow path
+  x_t = (1-t)x0 + t·x1 with x0 ~ N(0, I), the marginal score is exactly
+  recoverable from the learned velocity (no score net needed):
+
+      E[x1|x_t] = x_t + (1-t)·v      E[x0|x_t] = x_t - t·v
+      ∇log p_t(x_t) = -E[x0|x_t]/(1-t) = -(x_t - t·v)/(1-t)
+
+  so for ANY β_t >= 0 the SDE  dx = [v + β_t·∇log p_t]dt + sqrt(2β_t)dW
+  has the same time marginals as the ODE (Fokker-Planck: the added drift
+  and diffusion cancel). We take β_t = churn·(1-t)², which keeps the
+  correction bounded:  drift = -churn·(1-t)·(x - t·v),
+  noise std = sqrt(2·churn·dt)·(1-t). Churn is what regenerates diversity
+  after resampling duplicates a particle — without it an ODE keeps clones
+  identical forever.
+
+* **Potential** — incremental twist on the ratio estimator evaluated at
+  the flow's endpoint PREDICTION x̂1 = x_t + (1-t)·v (the ratio net is
+  terminal-time-only, ref ratio_estimator.py:100, so x̂1 — not x_t — is
+  its on-distribution input; same device-side quantities the velocity
+  eval already produced). Log-weights accumulate telescoping increments
+  logw += γ·(log r̂_k - log r̂_{k-1}), so between resamplings the
+  accumulated weight is exactly γ·Δlog r̂ and the terminal total is
+  γ·log r̂(x1, y1) up to the (uninformative) t≈0 baseline.
+
+* **Selection** — systematic resampling of whole pairs when the
+  population ESS = 1/Σw̄² drops below resample_tau·B, gated to
+  t ∈ [resample_t_min, resample_t_max]: early endpoint predictions are
+  blurry conditional means (off-distribution for the discriminator — the
+  same reason grad guidance failed, DESIGN.md §7c), and late resampling
+  would leave churn no time to decorrelate the clones.
+
+Contrast with mc_feng: no candidate pool at all — the proposal is the
+full flow, so samples are never snapped onto a finite set; selection
+reweights the flow's OWN population. Cost per step: 2 U-Net evals (same
+as unguided) + 1 ratio-net eval (~6% of the U-Net cost at exp-1 sizes)
++ O(B·D) gathers — and NO phase A, so SMC is CHEAPER end-to-end than
+mc_feng at equal step count.
+
+The whole sampler is one fused `lax.scan` (carry: particles, key,
+log-weights, previous log-ratio) — same TPU-first structure as
+sample/guided.py; resampling is a batch gather, jit/shard-friendly.
+
+References: Del Moral (2004) Feynman-Kac formulae; Wu et al. (2023)
+"Practical and Asymptotically Exact Conditional Sampling in Diffusion
+Models" (twisted SMC with endpoint-prediction potentials); Karras et al.
+(2022) §4 (churn). Implementation is original, TPU-first.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ratio_guided_multimodal_fm_tpu.flow.cfm import (
+    TIME_GRIDS,
+    make_time_grid,
+)
+
+# Solvers supported by the SMC proposal (heun's t=1.0 endpoint eval is fine
+# unguided, but SMC composes its churn/score term with 1/(1-t) — midpoint's
+# half-step grid keeps every eval strictly inside [0, 1)).
+SMC_SOLVERS = ("euler", "midpoint")
+
+
+def flow_score(x_t: jax.Array, v: jax.Array, t) -> jax.Array:
+    """Marginal score ∇log p_t(x_t) from the rectified-flow velocity.
+
+    Exact for the OT-CFM path with standard-normal prior (module
+    docstring): -(x_t - t·v)/(1-t). The 1e-3 floor matches the sampler's
+    σ floor (guided.py EPS_T); callers gate usage away from t=1 anyway
+    (β_t = churn·(1-t)² → the churn term vanishes as (1-t)).
+    """
+    t = jnp.asarray(t, jnp.float32)
+    return -(x_t - t * v) / (1.0 - t + 1e-3)
+
+
+def systematic_resample_idx(w: jax.Array, u: jax.Array) -> jax.Array:
+    """Systematic resampling: B indices with counts in {⌊Bw_i⌋, ⌈Bw_i⌉}.
+
+    `w` [B] normalized weights, `u` scalar ~ U[0,1). One uniform for the
+    whole population (lowest-variance standard scheme); jittable — a
+    cumsum + searchsorted, no host sync. Uniform weights return
+    arange(B) for every u (identity — tested).
+    """
+    b = w.shape[0]
+    cdf = jnp.cumsum(w)
+    # guard the last edge against cumsum rounding (cdf[-1] ~ 1-1e-7)
+    cdf = cdf.at[-1].set(jnp.maximum(cdf[-1], 1.0))
+    positions = (u + jnp.arange(b, dtype=jnp.float32)) / b
+    # side='right': strict cdf[j] > pos — under uniform weights idx == arange
+    # for EVERY u in [0,1) including the u=0 edge (side='left' would shift).
+    idx = jnp.searchsorted(cdf, positions, side="right")
+    return jnp.clip(idx, 0, b - 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class SMCSamplerConfig:
+    """Config for the SMC guided sampler (sample/smc.py module docstring).
+
+    guidance_strength is the tempering exponent γ on r̂ — the terminal
+    target is p_x·p_y·r̂^γ (γ=1 ≈ the true coupled joint; higher
+    sharpens coherence like mc_feng's γ but through population
+    reweighting, not velocity steering).
+    """
+    guidance_strength: float = 1.0
+    num_steps: int = 100
+    x_shape: Tuple[int, ...] = (28, 28, 1)
+    y_shape: Tuple[int, ...] = (28, 28, 1)
+    # Langevin churn coefficient: β_t = churn·(1-t)². 0 disables the
+    # stochastic term (resampled clones then stay identical — only useful
+    # for ablations/identity tests).
+    churn: float = 0.5
+    # Resample when population ESS < resample_tau · B ...
+    resample_tau: float = 0.5
+    # ... but only inside this t-window (see module docstring).
+    resample_t_min: float = 0.2
+    resample_t_max: float = 0.9
+    # Optional |log r̂| clip (same semantics as GuidedSamplerConfig).
+    log_ratio_clip: Optional[float] = None
+    solver: str = "euler"
+    time_grid: str = "uniform"
+    grid_power: float = 2.0
+    scan_unroll: int = 1
+
+
+def make_smc_sampler_p(
+    fm_x_apply: Callable,        # (params_x, x[B,...], t[B]) -> v
+    fm_y_apply: Callable,
+    cfg: SMCSamplerConfig,
+    log_ratio_apply: Callable,   # (ratio_vars, x, y) -> [B]
+):
+    """Build the fused SMC sampler with params as runtime arguments:
+
+        sampler(params, key, num_samples, init_noise=None)
+            -> (x1, y1, diags)
+
+    params = (params_x, params_y, ratio_vars) — same calling convention as
+    make_guided_sampler_p (params as jit ARGUMENTS: closure-embedded trees
+    blow the remote-compile size limit at 37M params, CLAUDE.md).
+
+    diags (per-step [T] arrays): 'smc_ess' population ESS of the current
+    log-weights, 'resampled' 0/1, 'log_r_mean' mean endpoint log-ratio,
+    'logw_spread' max-min of the accumulated log-weights.
+    """
+    if cfg.solver not in SMC_SOLVERS:
+        raise ValueError(f"SMC solver must be one of {SMC_SOLVERS}, "
+                         f"got {cfg.solver!r}")
+    if cfg.time_grid not in TIME_GRIDS:
+        raise ValueError(f"time_grid must be one of {TIME_GRIDS}, "
+                         f"got {cfg.time_grid!r}")
+    gamma = float(cfg.guidance_strength)
+    churn = float(cfg.churn)
+
+    def sampler(params, key: jax.Array, num_samples: int, init_noise=None):
+        params_x, params_y, ratio_vars = params
+
+        def fm_x(x, t):
+            return fm_x_apply(params_x, x, t).astype(jnp.float32)
+
+        def fm_y(y, t):
+            return fm_y_apply(params_y, y, t).astype(jnp.float32)
+
+        def log_r(x, y):
+            lr = log_ratio_apply(ratio_vars, x, y).astype(jnp.float32)
+            if cfg.log_ratio_clip is not None:
+                lr = jnp.clip(lr, -cfg.log_ratio_clip, cfg.log_ratio_clip)
+            return lr
+
+        kx, ky, kscan = jax.random.split(key, 3)
+        if init_noise is not None:
+            x_t, y_t = init_noise
+            num_samples = x_t.shape[0]
+        else:
+            x_t = jax.random.normal(kx, (num_samples,) + cfg.x_shape,
+                                    jnp.float32)
+            y_t = jax.random.normal(ky, (num_samples,) + cfg.y_shape,
+                                    jnp.float32)
+        b = num_samples
+
+        def step(carry, tdt):
+            x_t, y_t, k, logw, l_prev = carry
+            t, dt = tdt
+            tb = jnp.full((b,), t, jnp.float32)
+            v_x = fm_x(x_t, tb)
+            v_y = fm_y(y_t, tb)
+
+            # -- potential: endpoint-prediction log-ratio, telescoping --
+            sig = 1.0 - t
+            x1_hat = x_t + sig * v_x
+            y1_hat = y_t + sig * v_y
+            l_now = log_r(x1_hat, y1_hat)                       # [B]
+            inc = gamma * (l_now - l_prev)
+            # first step (t == 0): baseline only — the endpoint prediction
+            # from pure noise carries no pair information.
+            logw = logw + jnp.where(t > 0.0, inc, 0.0)
+            l_prev = l_now
+
+            # -- selection: systematic resampling on collapsed ESS --
+            m = jnp.max(logw)
+            w = jnp.exp(logw - m)
+            w = w / jnp.sum(w)
+            ess = 1.0 / jnp.sum(w * w)
+            k, ku, knx, kny = jax.random.split(k, 4)
+            do = ((ess < cfg.resample_tau * b)
+                  & (t >= cfg.resample_t_min)
+                  & (t <= cfg.resample_t_max))
+            idx = systematic_resample_idx(w, jax.random.uniform(ku))
+            idx = jnp.where(do, idx, jnp.arange(b))
+            x_t, y_t = x_t[idx], y_t[idx]
+            v_x, v_y = v_x[idx], v_y[idx]
+            l_prev = l_prev[idx]
+            logw = jnp.where(do, jnp.zeros_like(logw), logw)
+
+            # -- proposal: flow advance (+ optional half-step correction) --
+            if cfg.solver == "midpoint":
+                th = jnp.full((b,), t + 0.5 * dt, jnp.float32)
+                a_x = fm_x(x_t + 0.5 * dt * v_x, th)
+                a_y = fm_y(y_t + 0.5 * dt * v_y, th)
+            else:
+                a_x, a_y = v_x, v_y
+            x_new = x_t + a_x * dt
+            y_new = y_t + a_y * dt
+            if churn > 0.0:
+                # Langevin churn, marginal-preserving (module docstring):
+                # β_t = churn·(1-t)²; drift β_t·s·dt with
+                # s = -(x - t·v)/(1-t) → -churn·(1-t)·(x - t·v)·dt.
+                noise_std = jnp.sqrt(2.0 * churn * dt) * sig
+                x_new = (x_new - churn * sig * (x_t - t * v_x) * dt
+                         + noise_std * jax.random.normal(knx, x_t.shape))
+                y_new = (y_new - churn * sig * (y_t - t * v_y) * dt
+                         + noise_std * jax.random.normal(kny, y_t.shape))
+
+            diag = {
+                "smc_ess": ess,
+                "resampled": do.astype(jnp.float32),
+                "log_r_mean": jnp.mean(l_now),
+                "logw_spread": jnp.max(logw) - jnp.min(logw),
+            }
+            return (x_new, y_new, k, logw, l_prev), diag
+
+        grid = make_time_grid(cfg.num_steps, cfg.time_grid, cfg.grid_power)
+        logw0 = jnp.zeros((b,), jnp.float32)
+        (x_t, y_t, _, logw, _), diags = jax.lax.scan(
+            step, (x_t, y_t, kscan, logw0, logw0), grid,
+            unroll=cfg.scan_unroll)
+        # Residual terminal weights are reported, not resampled: a final
+        # resample would emit exact duplicates (no churn time left to
+        # decorrelate them) — by construction the in-window resampling
+        # keeps ESS >= tau·B, so the residual skew is bounded.
+        w = jax.nn.softmax(logw)
+        diags["final_ess"] = 1.0 / jnp.sum(w * w)
+        return x_t, y_t, diags
+
+    return sampler
+
+
+def make_smc_sampler(
+    fm_x_fn: Callable,           # (x[B,...], t[B]) -> v, params bound
+    fm_y_fn: Callable,
+    cfg: SMCSamplerConfig,
+    log_ratio_fn: Callable,      # (x, y) -> [B], params bound
+):
+    """Closure-sugar variant (small models only — see make_smc_sampler_p)."""
+    inner = make_smc_sampler_p(
+        lambda _, x, t: fm_x_fn(x, t),
+        lambda _, y, t: fm_y_fn(y, t),
+        cfg,
+        lambda _, x, y: log_ratio_fn(x, y),
+    )
+
+    def sampler(key: jax.Array, num_samples: int, init_noise=None):
+        return inner((None, None, None), key, num_samples, init_noise)
+
+    return sampler
