@@ -84,6 +84,40 @@ def add_solver_flag(p: argparse.ArgumentParser):
                         "(g(s)=1-(1-s)^p / s^p)")
 
 
+def add_smc_flags(p: argparse.ArgumentParser):
+    """--smc_* knobs for the SMC (particle-filter) guidance method
+    (sample/smc.py): Langevin churn + systematic resampling on the ratio
+    potential — couples pairs WITHOUT a candidate pool, so coherence never
+    costs snapping onto N_mc pre-generated samples."""
+    p.add_argument("--smc_churn", type=float, default=0.5,
+                   help="Langevin churn coefficient (beta_t = churn*(1-t)^2;"
+                        " regenerates diversity after resampling; 0 = "
+                        "deterministic ODE proposal)")
+    p.add_argument("--smc_resample_tau", type=float, default=0.5,
+                   help="systematic-resample when population ESS < tau*B")
+    p.add_argument("--smc_t_min", type=float, default=0.2,
+                   help="no resampling before this t (early endpoint "
+                        "predictions are off-distribution for the "
+                        "terminal-time ratio net)")
+    p.add_argument("--smc_t_max", type=float, default=0.9,
+                   help="no resampling after this t (leave churn time to "
+                        "decorrelate resampled clones)")
+
+
+def smc_config_from_args(args, strength: float, x_shape, y_shape):
+    """Build an SMCSamplerConfig from the CLI flag surface."""
+    from ratio_guided_multimodal_fm_tpu.sample.smc import SMCSamplerConfig
+
+    return SMCSamplerConfig(
+        guidance_strength=strength, num_steps=args.num_steps,
+        x_shape=tuple(x_shape), y_shape=tuple(y_shape),
+        churn=args.smc_churn, resample_tau=args.smc_resample_tau,
+        resample_t_min=args.smc_t_min, resample_t_max=args.smc_t_max,
+        log_ratio_clip=getattr(args, "ratio_clip", None),
+        solver=args.solver, time_grid=args.time_grid,
+        grid_power=args.grid_power)
+
+
 def add_reflow_flag(p: argparse.ArgumentParser):
     """--reflow for every sampler-facing CLI: load the reflow-distilled
     flow checkpoints (cli/reflow.py writes them next to the teachers with
@@ -267,6 +301,8 @@ def summarize_diagnostics(diags, num_steps: int,
     for s in range(num_steps):
         row = {"step": s, "t": round(float(ts[s]), 4)}
         for k, v in sorted(d.items()):
+            if v.ndim == 0:
+                continue   # run-level scalars (e.g. SMC final_ess)
             if v.ndim == 1:
                 row[k] = float(v[s])
             else:
@@ -293,6 +329,9 @@ def report_guidance_diagnostics(diags, num_steps: int, save_path=None,
         parts = [f"t={r['t']:.2f}"]
         if "ess_mean" in r:
             parts.append(f"ESS mean={r['ess_mean']:.1f} min={r['ess_min']:.1f}")
+        if "smc_ess" in r:
+            parts.append(f"SMC-ESS={r['smc_ess']:.1f}"
+                         f" resampled={int(r.get('resampled', 0))}")
         for k in ("v_x_norm", "v_y_norm", "g_x_norm", "g_y_norm"):
             if k in r:
                 parts.append(f"{k.replace('_norm','')}||={r[k]:.3f}")

@@ -47,7 +47,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Evaluate guided sampling")
     parser.add_argument("--transform_type", type=str, default="rotate90")
     parser.add_argument("--guidance_methods", nargs="+",
-                        default=["none", "mc_feng"])
+                        default=["none", "mc_feng"],
+                        help="any of: none, mc_feng, grad, mc_feng+grad, "
+                             "smc (particle-filter guidance, sample/smc.py)")
     parser.add_argument("--guidance_strengths", nargs="+", type=float,
                         default=[0.0, 0.5, 1.0])
     parser.add_argument("--mc_batch_size", type=int, default=256)
@@ -56,6 +58,8 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=100)
     add_solver_flag(parser)
     add_reflow_flag(parser)
+    from ratio_guided_multimodal_fm_tpu.cli.common import add_smc_flags
+    add_smc_flags(parser)
     parser.add_argument("--model", type=str, default="unet",
                         choices=["unet", "original"])
     parser.add_argument("--ratio_clip", type=float, default=None,
@@ -181,23 +185,38 @@ def main(argv=None):
             # ONE jitted sampler per (method, strength), reused by every
             # chunk (identical shapes at the default equal-split) — not a
             # fresh trace per chunk.
-            cfg = GuidedSamplerConfig(
-                guidance_method=method, guidance_strength=strength,
-                num_steps=args.num_steps,
-                mc_batch_size=args.mc_batch_size,
-                x_shape=(28, 28, 1), y_shape=(28, 28, 1),
-                ess_floor=args.ess_floor,
-                grad_strength=args.grad_strength,
-                grad_scale=args.grad_scale, grad_t_max=args.grad_t_max,
-                solver=args.solver, time_grid=args.time_grid,
-                grid_power=args.grid_power)
-            sampler = jax.jit(
-                make_guided_sampler(fm_x, fm_y, cfg, log_ratio,
-                                    fm_pair_fn=fm_pair),
-                static_argnums=(1,))
+            if method == "smc":
+                from ratio_guided_multimodal_fm_tpu.cli.common import (
+                    smc_config_from_args)
+                from ratio_guided_multimodal_fm_tpu.sample import (
+                    make_smc_sampler)
 
-            def sample_chunk(ck, n_i, mc_ci, _s=sampler):
-                return _s(ck, n_i, mc_ci)
+                smc_cfg = smc_config_from_args(args, strength,
+                                               (28, 28, 1), (28, 28, 1))
+                smc_sampler = jax.jit(
+                    make_smc_sampler(fm_x, fm_y, smc_cfg, log_ratio),
+                    static_argnums=(1,))
+
+                def sample_chunk(ck, n_i, mc_ci, _s=smc_sampler):
+                    return _s(ck, n_i)
+            else:
+                cfg = GuidedSamplerConfig(
+                    guidance_method=method, guidance_strength=strength,
+                    num_steps=args.num_steps,
+                    mc_batch_size=args.mc_batch_size,
+                    x_shape=(28, 28, 1), y_shape=(28, 28, 1),
+                    ess_floor=args.ess_floor,
+                    grad_strength=args.grad_strength,
+                    grad_scale=args.grad_scale, grad_t_max=args.grad_t_max,
+                    solver=args.solver, time_grid=args.time_grid,
+                    grid_power=args.grid_power)
+                sampler = jax.jit(
+                    make_guided_sampler(fm_x, fm_y, cfg, log_ratio,
+                                        fm_pair_fn=fm_pair),
+                    static_argnums=(1,))
+
+                def sample_chunk(ck, n_i, mc_ci, _s=sampler):
+                    return _s(ck, n_i, mc_ci)
 
             print(f"  Sampling {args.num_samples} pairs...")
             samples_x, samples_y, merged_diags, chunk_info = sample_in_chunks(
@@ -225,6 +244,13 @@ def main(argv=None):
                       "ess_trajectory_min", "ess_trajectory_mean"):
                 if k in chunk_info:
                     result[k] = chunk_info[k]
+            if method == "smc":
+                result["smc_final_ess"] = float(
+                    np.mean(merged_diags["final_ess"]))
+                result["smc_resamples"] = float(
+                    np.sum(merged_diags["resampled"]))
+                result["smc_churn"] = args.smc_churn
+                result["smc_resample_tau"] = args.smc_resample_tau
             if args.fid and real_images is not None:
                 # "classifier_fid": Frechet distance on eval-classifier
                 # features, NOT Inception-FID (eval/fid.py docstring).

@@ -34,9 +34,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Sample bimodal pairs")
     parser.add_argument("--transform_type", type=str, default="rotate90")
     parser.add_argument("--guidance_method", type=str, default="none",
-                        choices=["none", "mc_feng", "grad"],
+                        choices=["none", "mc_feng", "grad", "smc"],
                         help="none=independent, mc_feng=Feng MC guidance, "
-                             "grad=gradient log-ratio")
+                             "grad=gradient log-ratio, smc=particle-filter "
+                             "guidance (sample/smc.py; no candidate pool)")
     parser.add_argument("--guidance_strength", type=float, default=0.5)
     parser.add_argument("--mc_batch_size", type=int, default=128)
     parser.add_argument("--loss_type", type=str, default="disc")
@@ -44,6 +45,8 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=100)
     add_solver_flag(parser)
     add_reflow_flag(parser)
+    from ratio_guided_multimodal_fm_tpu.cli.common import add_smc_flags
+    add_smc_flags(parser)
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples (guards against "
                              "saturated-discriminator weight collapse)")
@@ -106,20 +109,34 @@ def main(argv=None):
         print(f"  MC batch size: {args.mc_batch_size}")
     print(f"  Integration steps: {args.num_steps}")
 
-    samples_x, samples_y, diags = sample_bimodal_guided(
-        velocity_fn(model, params_x), velocity_fn(model, params_y),
-        fm_pair_fn=maybe_merged_pair_fn(model, model, params_x, params_y,
-                                        args),
-        log_ratio_fn=log_ratio,
-        guidance_method=args.guidance_method,
-        guidance_strength=args.guidance_strength,
-        num_samples=args.num_samples, num_steps=args.num_steps,
-        mc_batch_size=args.mc_batch_size,
-        x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key,
-        log_ratio_clip=args.ratio_clip, ess_floor=args.ess_floor,
-        solver=args.solver, time_grid=args.time_grid,
-        grid_power=args.grid_power,
-        return_diagnostics=True)
+    if args.guidance_method == "smc":
+        from ratio_guided_multimodal_fm_tpu.sample import sample_bimodal_smc
+
+        samples_x, samples_y, diags = sample_bimodal_smc(
+            velocity_fn(model, params_x), velocity_fn(model, params_y),
+            log_ratio, guidance_strength=args.guidance_strength,
+            num_samples=args.num_samples, num_steps=args.num_steps,
+            x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key,
+            churn=args.smc_churn, resample_tau=args.smc_resample_tau,
+            resample_t_min=args.smc_t_min, resample_t_max=args.smc_t_max,
+            log_ratio_clip=args.ratio_clip, solver=args.solver,
+            time_grid=args.time_grid, grid_power=args.grid_power,
+            return_diagnostics=True)
+    else:
+        samples_x, samples_y, diags = sample_bimodal_guided(
+            velocity_fn(model, params_x), velocity_fn(model, params_y),
+            fm_pair_fn=maybe_merged_pair_fn(model, model, params_x, params_y,
+                                            args),
+            log_ratio_fn=log_ratio,
+            guidance_method=args.guidance_method,
+            guidance_strength=args.guidance_strength,
+            num_samples=args.num_samples, num_steps=args.num_steps,
+            mc_batch_size=args.mc_batch_size,
+            x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key,
+            log_ratio_clip=args.ratio_clip, ess_floor=args.ess_floor,
+            solver=args.solver, time_grid=args.time_grid,
+            grid_power=args.grid_power,
+            return_diagnostics=True)
 
     os.makedirs("outputs", exist_ok=True)
     tag = (f"{args.guidance_method}"

@@ -86,7 +86,7 @@ def load_mnist_svhn_models(loss_type: str, need_ratio: bool, dtype=None,
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Sample MNIST-SVHN pairs")
     parser.add_argument("--guidance_method", type=str, default="none",
-                        choices=["none", "mc_feng", "grad"])
+                        choices=["none", "mc_feng", "grad", "smc"])
     parser.add_argument("--guidance_strength", type=float, default=0.5)
     parser.add_argument("--mc_batch_size", type=int, default=256)
     parser.add_argument("--loss_type", type=str, default="disc")
@@ -94,6 +94,8 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=100)
     add_solver_flag(parser)
     add_reflow_flag(parser)
+    from ratio_guided_multimodal_fm_tpu.cli.common import add_smc_flags
+    add_smc_flags(parser)
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples")
     parser.add_argument("--ess_floor", type=float, default=None,
@@ -116,18 +118,32 @@ def main(argv=None):
 
     print(f"\nSampling {args.num_samples} pairs "
           f"(method={args.guidance_method}, gamma={args.guidance_strength})")
-    samples_x, samples_y, diags = sample_bimodal_guided(
-        velocity_fn(fm_m, params_m), velocity_fn(fm_s, params_s),
-        log_ratio_fn=log_ratio,
-        guidance_method=args.guidance_method,
-        guidance_strength=args.guidance_strength,
-        num_samples=args.num_samples, num_steps=args.num_steps,
-        mc_batch_size=args.mc_batch_size,
-        x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=key,
-        log_ratio_clip=args.ratio_clip, ess_floor=args.ess_floor,
-        solver=args.solver, time_grid=args.time_grid,
-        grid_power=args.grid_power,
-        return_diagnostics=True)
+    if args.guidance_method == "smc":
+        from ratio_guided_multimodal_fm_tpu.sample import sample_bimodal_smc
+
+        samples_x, samples_y, diags = sample_bimodal_smc(
+            velocity_fn(fm_m, params_m), velocity_fn(fm_s, params_s),
+            log_ratio, guidance_strength=args.guidance_strength,
+            num_samples=args.num_samples, num_steps=args.num_steps,
+            x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=key,
+            churn=args.smc_churn, resample_tau=args.smc_resample_tau,
+            resample_t_min=args.smc_t_min, resample_t_max=args.smc_t_max,
+            log_ratio_clip=args.ratio_clip, solver=args.solver,
+            time_grid=args.time_grid, grid_power=args.grid_power,
+            return_diagnostics=True)
+    else:
+        samples_x, samples_y, diags = sample_bimodal_guided(
+            velocity_fn(fm_m, params_m), velocity_fn(fm_s, params_s),
+            log_ratio_fn=log_ratio,
+            guidance_method=args.guidance_method,
+            guidance_strength=args.guidance_strength,
+            num_samples=args.num_samples, num_steps=args.num_steps,
+            mc_batch_size=args.mc_batch_size,
+            x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=key,
+            log_ratio_clip=args.ratio_clip, ess_floor=args.ess_floor,
+            solver=args.solver, time_grid=args.time_grid,
+            grid_power=args.grid_power,
+            return_diagnostics=True)
 
     os.makedirs("outputs/mnist_svhn", exist_ok=True)
     from ratio_guided_multimodal_fm_tpu.cli.common import (

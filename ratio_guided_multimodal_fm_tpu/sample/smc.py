@@ -293,3 +293,40 @@ def make_smc_sampler(
         return inner((None, None, None), key, num_samples, init_noise)
 
     return sampler
+
+
+def sample_bimodal_smc(
+    fm_x_fn: Callable,
+    fm_y_fn: Callable,
+    log_ratio_fn: Callable,
+    guidance_strength: float = 1.0,
+    num_samples: int = 16,
+    num_steps: int = 100,
+    x_shape: Tuple[int, ...] = (28, 28, 1),
+    y_shape: Tuple[int, ...] = (28, 28, 1),
+    key: Optional[jax.Array] = None,
+    churn: float = 0.5,
+    resample_tau: float = 0.5,
+    resample_t_min: float = 0.2,
+    resample_t_max: float = 0.9,
+    log_ratio_clip: Optional[float] = None,
+    solver: str = "euler",
+    time_grid: str = "uniform",
+    grid_power: float = 2.0,
+    return_diagnostics: bool = False,
+):
+    """Convenience wrapper mirroring sample_bimodal_guided's surface."""
+    if key is None:
+        key = jax.random.PRNGKey(42)
+    cfg = SMCSamplerConfig(
+        guidance_strength=guidance_strength, num_steps=num_steps,
+        x_shape=x_shape, y_shape=y_shape, churn=churn,
+        resample_tau=resample_tau, resample_t_min=resample_t_min,
+        resample_t_max=resample_t_max, log_ratio_clip=log_ratio_clip,
+        solver=solver, time_grid=time_grid, grid_power=grid_power)
+    sampler = jax.jit(make_smc_sampler(fm_x_fn, fm_y_fn, cfg, log_ratio_fn),
+                      static_argnums=(1,))
+    x1, y1, diags = sampler(key, num_samples)
+    if return_diagnostics:
+        return x1, y1, diags
+    return x1, y1
