@@ -73,7 +73,9 @@ class SamplerService:
                  batch_size=64, num_steps=100, mc_batch_size=256, seed=0,
                  linger_ms: float = 10.0, fm_pair_fn=None,
                  solver: str = "euler", time_grid: str = "uniform",
-                 grid_power: float = 2.0):
+                 grid_power: float = 2.0, smc_churn: float = 0.5,
+                 smc_resample_tau: float = 0.5, smc_t_min: float = 0.2,
+                 smc_t_max: float = 0.9):
         self.batch_size = batch_size
         self.x_shape = tuple(x_shape)
         self.y_shape = tuple(y_shape)
@@ -81,6 +83,8 @@ class SamplerService:
         self.solver = solver
         self.time_grid = time_grid
         self.grid_power = grid_power
+        self.smc = {"churn": smc_churn, "resample_tau": smc_resample_tau,
+                    "t_min": smc_t_min, "t_max": smc_t_max}
         self._samplers = {}
         self._fm_x, self._fm_y, self._log_ratio = fm_x_fn, fm_y_fn, log_ratio_fn
         self._fm_pair = fm_pair_fn  # merged-pair evaluation (models/merged.py)
@@ -139,6 +143,34 @@ class SamplerService:
     def _sampler(self, method, strength):
         key = (method, float(strength))
         if key not in self._samplers:
+            if method == "smc":
+                from ratio_guided_multimodal_fm_tpu.sample import (
+                    SMCSamplerConfig, make_smc_sampler)
+
+                if self._log_ratio is None:
+                    raise ValueError("smc requires a ratio estimator")
+                scfg = SMCSamplerConfig(
+                    guidance_strength=float(strength),
+                    num_steps=self.num_steps,
+                    x_shape=self.x_shape, y_shape=self.y_shape,
+                    churn=self.smc["churn"],
+                    resample_tau=self.smc["resample_tau"],
+                    resample_t_min=self.smc["t_min"],
+                    resample_t_max=self.smc["t_max"],
+                    solver=self.solver, time_grid=self.time_grid,
+                    grid_power=self.grid_power)
+                inner = jax.jit(
+                    make_smc_sampler(self._fm_x, self._fm_y, scfg,
+                                     self._log_ratio),
+                    static_argnums=(1,))
+                # Adapt to the guided sampler's (key, n, mc, noise) calling
+                # convention so _execute/_ensure_warm stay method-agnostic.
+                # Churn noise comes from the sampler key (fixed per
+                # dispatch); per-request reproducibility covers the
+                # INITIAL noise only, like every other method.
+                self._samplers[key] = (
+                    lambda k, n, mc, noise, _i=inner: _i(k, n, noise))
+                return self._samplers[key]
             cfg = GuidedSamplerConfig(
                 guidance_method=method, guidance_strength=float(strength),
                 num_steps=self.num_steps, mc_batch_size=self.mc_batch_size,
@@ -301,7 +333,7 @@ def make_handler(service: SamplerService):
                 seed = int(req.get("seed", 0))
                 fmt = req.get("format", "npz")
                 if method not in ("none", "mc_feng", "grad",
-                                  "mc_feng+grad"):
+                                  "mc_feng+grad", "smc"):
                     self._send(400, {"error": f"unknown method {method}"})
                     return
                 x, y, dt = service.sample(num, method, strength, seed)
@@ -331,11 +363,15 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=100)
     parser.add_argument("--mc_batch_size", type=int, default=256)
     from ratio_guided_multimodal_fm_tpu.cli.common import (
-        add_reflow_flag, add_solver_flag)
+        add_reflow_flag, add_smc_flags, add_solver_flag)
     add_solver_flag(parser)
     add_reflow_flag(parser)
+    add_smc_flags(parser)
     add_common_flags(parser)
     args = parser.parse_args(argv)
+    smc_kw = dict(smc_churn=args.smc_churn,
+                  smc_resample_tau=args.smc_resample_tau,
+                  smc_t_min=args.smc_t_min, smc_t_max=args.smc_t_max)
 
     from ratio_guided_multimodal_fm_tpu.cli.common import init_runtime
     init_runtime(args)   # --device cpu override + multi-host init
@@ -352,7 +388,7 @@ def main(argv=None):
             velocity_fn(fm_m, pm), velocity_fn(fm_s, ps), log_ratio,
             (32, 32, 1), (32, 32, 3), args.batch_size, args.num_steps,
             args.mc_batch_size, args.seed, solver=args.solver,
-            time_grid=args.time_grid, grid_power=args.grid_power)
+            time_grid=args.time_grid, grid_power=args.grid_power, **smc_kw)
     else:
         import jax.numpy as jnp
         from ratio_guided_multimodal_fm_tpu.cli.common import (
@@ -387,7 +423,7 @@ def main(argv=None):
             args.mc_batch_size, args.seed,
             fm_pair_fn=maybe_merged_pair_fn(model, model, px, py, args),
             solver=args.solver, time_grid=args.time_grid,
-            grid_power=args.grid_power)
+            grid_power=args.grid_power, **smc_kw)
 
     print("Warming up (compiling samplers)...")
     service.warmup(("none", "mc_feng"))

@@ -28,6 +28,9 @@ def test_service_sample_and_padding():
     x, y, dt = svc.sample(3, "mc_feng", 0.5, seed=1)
     assert x.shape == (3, 6, 6, 1)
     assert np.isfinite(x).all()
+    # SMC method serves through the same coalescing path (no MC set)
+    x, y, _ = svc.sample(5, "smc", 1.0, seed=2)
+    assert x.shape == (5, 6, 6, 1) and np.isfinite(x).all()
     # over-batch request is FULFILLED by looping the compiled fixed-batch
     # sampler (the old behavior silently truncated — round-1 finding)
     x, _, _ = svc.sample(20, "none", 0.0)
