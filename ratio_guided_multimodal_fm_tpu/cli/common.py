@@ -118,6 +118,14 @@ def smc_config_from_args(args, strength: float, x_shape, y_shape):
         grid_power=args.grid_power)
 
 
+def add_ema_flag(p: argparse.ArgumentParser):
+    """--ema for every sampler-facing CLI: load the Polyak-averaged flow
+    weights written by training with --ema_decay (flow_*_ema_best)."""
+    p.add_argument("--ema", action="store_true",
+                   help="load the EMA (Polyak-averaged) flow checkpoints "
+                        "(flow_*_ema_best; train with --ema_decay)")
+
+
 def add_reflow_flag(p: argparse.ArgumentParser):
     """--reflow for every sampler-facing CLI: load the reflow-distilled
     flow checkpoints (cli/reflow.py writes them next to the teachers with

@@ -58,6 +58,8 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=100)
     add_solver_flag(parser)
     add_reflow_flag(parser)
+    from ratio_guided_multimodal_fm_tpu.cli.common import add_ema_flag
+    add_ema_flag(parser)
     from ratio_guided_multimodal_fm_tpu.cli.common import add_smc_flags
     add_smc_flags(parser)
     parser.add_argument("--model", type=str, default="unet",
@@ -122,8 +124,10 @@ def main(argv=None):
     init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1)),
                       jnp.zeros((1,)))
     rf = "reflow" if args.reflow else None
-    path_x = get_checkpoint_path("flow", "x", None, rf, "best")
-    path_y = get_checkpoint_path("flow", "y", args.transform_type, rf, "best")
+    em = "ema" if getattr(args, "ema", False) else None
+    path_x = get_checkpoint_path("flow", "x", None, rf, em, "best")
+    path_y = get_checkpoint_path("flow", "y", args.transform_type, rf, em,
+                                 "best")
     params_x = load_params_or_exit(path_x, init["params"], "FM_x", "")
     params_y = load_params_or_exit(path_y, init["params"], "FM_y", "")
     fm_pair = maybe_merged_pair_fn(model, model, params_x, params_y, args)

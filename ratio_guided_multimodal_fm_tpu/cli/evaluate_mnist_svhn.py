@@ -60,7 +60,9 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=100)
     add_solver_flag(parser)
     add_reflow_flag(parser)
-    from ratio_guided_multimodal_fm_tpu.cli.common import add_smc_flags
+    from ratio_guided_multimodal_fm_tpu.cli.common import (add_ema_flag,
+                                                           add_smc_flags)
+    add_ema_flag(parser)
     add_smc_flags(parser)
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples")
@@ -124,7 +126,7 @@ def main(argv=None):
     need_ratio = any(m != "none" for m in args.guidance_methods)
     fm_m, params_m, fm_s, params_s, log_ratio = load_mnist_svhn_models(
         args.loss_type, need_ratio, dtype=dtype_of(args),
-        reflow=args.reflow)
+        reflow=args.reflow, ema=args.ema)
 
     real_m = real_s = None
     if args.fid:

@@ -45,6 +45,8 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=100)
     add_solver_flag(parser)
     add_reflow_flag(parser)
+    from ratio_guided_multimodal_fm_tpu.cli.common import add_ema_flag
+    add_ema_flag(parser)
     from ratio_guided_multimodal_fm_tpu.cli.common import add_smc_flags
     add_smc_flags(parser)
     parser.add_argument("--ratio_clip", type=float, default=None,
@@ -72,8 +74,10 @@ def main(argv=None):
     template = init["params"]
 
     rf = "reflow" if args.reflow else None
-    path_x = get_checkpoint_path("flow", "x", None, rf, "best")
-    path_y = get_checkpoint_path("flow", "y", args.transform_type, rf, "best")
+    em = "ema" if getattr(args, "ema", False) else None
+    path_x = get_checkpoint_path("flow", "x", None, rf, em, "best")
+    path_y = get_checkpoint_path("flow", "y", args.transform_type, rf, em,
+                                 "best")
     params_x = load_params_or_exit(
         path_x, template, "FM_x",
         "Please train FM_x first: python -m "

@@ -33,12 +33,13 @@ from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
 
 
 def load_mnist_svhn_models(loss_type: str, need_ratio: bool, dtype=None,
-                           reflow: bool = False):
+                           reflow: bool = False, ema: bool = False):
     """Load FM_mnist32 + FM_svhn (+ ratio) from reference-named checkpoints.
 
     reflow=True loads the reflow-distilled flows (cli/reflow.py) for
-    few-step sampling; the ratio estimator is shared (it only ever sees
-    terminal-time samples)."""
+    few-step sampling; ema=True loads the Polyak-averaged weights
+    (flow_*_ema_best, trained with --ema_decay); the ratio estimator is
+    shared (it only ever sees terminal-time samples)."""
     import jax.numpy as jnp
 
     kw = {"dtype": dtype} if dtype is not None else {}
@@ -50,6 +51,7 @@ def load_mnist_svhn_models(loss_type: str, need_ratio: bool, dtype=None,
                           jnp.zeros((1,)))
 
     rf = "_reflow" if reflow else ""
+    rf += "_ema" if ema else ""
     params_m = load_params_or_exit(
         f"checkpoints/flow_mnist32{rf}_best", init_m["params"], "FM_mnist",
         "Please train first: python -m "
@@ -94,7 +96,9 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=100)
     add_solver_flag(parser)
     add_reflow_flag(parser)
-    from ratio_guided_multimodal_fm_tpu.cli.common import add_smc_flags
+    from ratio_guided_multimodal_fm_tpu.cli.common import (add_ema_flag,
+                                                           add_smc_flags)
+    add_ema_flag(parser)
     add_smc_flags(parser)
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples")
@@ -114,7 +118,7 @@ def main(argv=None):
     from ratio_guided_multimodal_fm_tpu.cli.common import dtype_of
     fm_m, params_m, fm_s, params_s, log_ratio = load_mnist_svhn_models(
         args.loss_type, args.guidance_method != "none", dtype=dtype_of(args),
-        reflow=args.reflow)
+        reflow=args.reflow, ema=args.ema)
 
     print(f"\nSampling {args.num_samples} pairs "
           f"(method={args.guidance_method}, gamma={args.guidance_strength})")

@@ -367,6 +367,8 @@ def main(argv=None):
     add_solver_flag(parser)
     add_reflow_flag(parser)
     add_smc_flags(parser)
+    from ratio_guided_multimodal_fm_tpu.cli.common import add_ema_flag
+    add_ema_flag(parser)
     add_common_flags(parser)
     args = parser.parse_args(argv)
     smc_kw = dict(smc_churn=args.smc_churn,
@@ -383,7 +385,8 @@ def main(argv=None):
         from ratio_guided_multimodal_fm_tpu.cli.common import velocity_fn
 
         fm_m, pm, fm_s, ps, log_ratio = load_mnist_svhn_models(
-            args.loss_type, True, dtype=dtype_of(args), reflow=args.reflow)
+            args.loss_type, True, dtype=dtype_of(args), reflow=args.reflow,
+            ema=args.ema)
         service = SamplerService(
             velocity_fn(fm_m, pm), velocity_fn(fm_s, ps), log_ratio,
             (32, 32, 1), (32, 32, 3), args.batch_size, args.num_steps,
@@ -401,11 +404,13 @@ def main(argv=None):
         init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1)),
                           jnp.zeros((1,)))
         rf = "reflow" if args.reflow else None
+        em = "ema" if getattr(args, "ema", False) else None
         px = load_params_or_exit(
-            get_checkpoint_path("flow", "x", None, rf, "best"),
+            get_checkpoint_path("flow", "x", None, rf, em, "best"),
             init["params"], "FM_x", "train it first")
         py = load_params_or_exit(
-            get_checkpoint_path("flow", "y", args.transform_type, rf, "best"),
+            get_checkpoint_path("flow", "y", args.transform_type, rf, em,
+                                 "best"),
             init["params"], "FM_y", "train it first")
         ratio = RatioEstimatorMNIST(loss_type=args.loss_type)
         r_init = ratio.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1)),

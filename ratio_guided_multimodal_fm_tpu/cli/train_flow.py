@@ -47,6 +47,11 @@ def main(argv=None):
                         help="Early stopping patience")
     parser.add_argument("--model", type=str, default="unet",
                         choices=["unet", "original"])
+    parser.add_argument("--ema_decay", type=float, default=None,
+                        help="Polyak-average the weights with this decay "
+                             "(e.g. 0.999); best saves also write "
+                             "flow_*_ema_best, loadable with --ema on the "
+                             "sample/evaluate CLIs")
     parser.add_argument("--metrics_dir", type=str, default=None,
                         help="Write JSONL epoch metrics here (observability)")
     parser.add_argument("--profile_dir", type=str, default=None,
@@ -75,10 +80,10 @@ def main(argv=None):
 
     model = fm_model(args.model)
     state = create_fm_state(model, jax.random.PRNGKey(args.seed), (28, 28, 1),
-                            lr=args.lr)
+                            lr=args.lr, ema_decay=args.ema_decay)
     print(f"Model parameters: {count_params(state.params):,}")
 
-    step = make_fm_train_step(model)
+    step = make_fm_train_step(model, ema_decay=args.ema_decay)
     rng = RNG(args.seed + 1)
     modality = args.modality
 

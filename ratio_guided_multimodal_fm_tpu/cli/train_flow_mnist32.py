@@ -39,8 +39,9 @@ from ratio_guided_multimodal_fm_tpu.train.steps import (
 def run_flow_training(model, sample_shape, loader, args, ckpt_prefix: str):
     """Shared driver for the mnist32/svhn flow scripts (--resume support,
     step-granular --preempt_path preemption — SURVEY §5.3)."""
+    ema_decay = getattr(args, "ema_decay", None)
     state = create_fm_state(model, jax.random.PRNGKey(args.seed),
-                            sample_shape, lr=args.lr)
+                            sample_shape, lr=args.lr, ema_decay=ema_decay)
     print(f"Model parameters: {count_params(state.params):,}")
 
     start_epoch, best_loss = 0, float("inf")
@@ -77,7 +78,7 @@ def run_flow_training(model, sample_shape, loader, args, ckpt_prefix: str):
         resume["start_epoch"] = start_epoch    # from --resume (epoch-level)
         resume["start_best"] = best_loss
 
-    step = make_fm_train_step(model)
+    step = make_fm_train_step(model, ema_decay=ema_decay)
     rng = RNG(args.seed + 1)
 
     from ratio_guided_multimodal_fm_tpu.cli.common import multihost_adapt
@@ -89,6 +90,12 @@ def run_flow_training(model, sample_shape, loader, args, ckpt_prefix: str):
         path = f"checkpoints/{ckpt_prefix}_best"
         save_train_checkpoint(path, s, epoch, best)
         print(f"  -> Saved best model: {path}")
+        if getattr(s, "ema_params", None) is not None:
+            from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
+                save_checkpoint)
+            epath = f"checkpoints/{ckpt_prefix}_ema_best"
+            save_checkpoint(epath, s.ema_params, async_save=True)
+            print(f"  -> Saved EMA model: {epath}")
 
     def save_periodic(s, epoch, best):
         path = f"checkpoints/{ckpt_prefix}_epoch{epoch}"
@@ -119,6 +126,11 @@ def main(argv=None):
     parser.add_argument("--patience", type=int, default=10)
     parser.add_argument("--resume", type=str, default=None,
                         help="Path to checkpoint to resume from")
+    parser.add_argument("--ema_decay", type=float, default=None,
+                        help="Polyak-average the weights with this decay "
+                             "(e.g. 0.999); best saves also write "
+                             "flow_*_ema_best, loadable with --ema on the "
+                             "sample/evaluate CLIs")
     parser.add_argument("--preempt_path", type=str, default=None,
                         help="Preemption-safe training: on SIGTERM, save a "
                              "step-granular resumable checkpoint here and "

@@ -31,6 +31,10 @@ def main(argv=None):
     parser.add_argument("--resume", type=str, default=None,
                         help="Path to checkpoint to resume from "
                              "(e.g., checkpoints/flow_svhn_best)")
+    parser.add_argument("--ema_decay", type=float, default=None,
+                        help="Polyak-average the weights with this decay "
+                             "(e.g. 0.999); best saves also write "
+                             "flow_svhn_ema_best, loadable with --ema")
     parser.add_argument("--preempt_path", type=str, default=None,
                         help="Preemption-safe training: on SIGTERM, save a "
                              "step-granular resumable checkpoint here and "

@@ -74,10 +74,15 @@ def restore_preempt(preempt_path: Optional[str], state):
     has_bs = getattr(state, "batch_stats", None) is not None
     if has_bs and "batch_stats" in raw:
         target["batch_stats"] = state.batch_stats
+    has_ema = getattr(state, "ema_params", None) is not None
+    if has_ema and "ema_params" in raw:
+        target["ema_params"] = state.ema_params
     restored = load_checkpoint(preempt_path, target=target)
     repl = {"params": restored["params"], "opt_state": restored["opt_state"]}
     if has_bs and "batch_stats" in restored:
         repl["batch_stats"] = restored["batch_stats"]
+    if has_ema and "ema_params" in restored:
+        repl["ema_params"] = restored["ema_params"]
     state = state.replace(**repl)
     resume.update(
         start_epoch=int(raw["epoch"]), start_step=int(raw["step"]),
@@ -213,6 +218,8 @@ def train_epochs(
             }
             if getattr(state, "batch_stats", None) is not None:
                 tree["batch_stats"] = state.batch_stats
+            if getattr(state, "ema_params", None) is not None:
+                tree["ema_params"] = state.ema_params
             save_checkpoint(preempt_path, tree)
             log_fn(f"  -> Preempted: resumable checkpoint at "
                    f"{preempt_path} (epoch {epoch}, step {step_i})")
@@ -332,11 +339,24 @@ def train_flow_matching_epochs(
 ):
     """FM-specialized wrapper over `train_epochs` (scalar-loss steps,
     params-only best/periodic checkpoints). Returns (state, best, history).
+
+    When the state carries EMA params (create_fm_state(ema_decay=...)),
+    every best save also writes the Polyak average next to it with an
+    `_ema` suffix on the final name part (flow_x_best → flow_x_ema_best) —
+    the sample/evaluate CLIs load it with --ema.
     """
+    def _ema_path(path: str) -> str:
+        head, _, tail = path.rpartition("_")
+        return f"{head}_ema_{tail}" if head else f"{path}_ema"
+
     def save_best(s, epoch, best):
         if best_path:
             save_checkpoint(best_path, s.params, async_save=True)
             log_fn(f"  -> Saved best model: {best_path}")
+            if getattr(s, "ema_params", None) is not None:
+                save_checkpoint(_ema_path(best_path), s.ema_params,
+                                async_save=True)
+                log_fn(f"  -> Saved EMA model: {_ema_path(best_path)}")
 
     def save_periodic(s, epoch, best):
         if periodic_path_fn:

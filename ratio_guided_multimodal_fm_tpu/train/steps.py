@@ -26,15 +26,25 @@ from ratio_guided_multimodal_fm_tpu.flow.losses import get_ratio_loss
 
 
 class FMTrainState(train_state.TrainState):
-    pass
+    # Optional EMA of params (Polyak averaging — standard for
+    # diffusion/flow sample quality; the reference has no equivalent).
+    # None = EMA disabled (the default, reference parity).
+    ema_params: Any = None
 
 
 class RatioTrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
-def make_fm_train_step(model, *, donate: bool = True) -> Callable:
-    """Build step(state, x1, key) -> (state, loss) for a velocity model."""
+def make_fm_train_step(model, *, donate: bool = True,
+                       ema_decay: float | None = None) -> Callable:
+    """Build step(state, x1, key) -> (state, loss) for a velocity model.
+
+    With `ema_decay` set (and state.ema_params initialized —
+    create_fm_state(ema_decay=...)), the step also updates the Polyak
+    average ema = d·ema + (1-d)·params after the optimizer step — one
+    fused multiply-add per leaf inside the same jitted program.
+    """
 
     def step(state: FMTrainState, x1: jax.Array, key: jax.Array):
         kt, kn, kd = jax.random.split(key, 3)
@@ -48,7 +58,13 @@ def make_fm_train_step(model, *, donate: bool = True) -> Callable:
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         check_finite(loss, "fm train loss")
-        return state.apply_gradients(grads=grads), loss
+        state = state.apply_gradients(grads=grads)
+        if ema_decay is not None:
+            d = jnp.float32(ema_decay)
+            state = state.replace(ema_params=jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                state.ema_params, state.params))
+        return state, loss
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -142,13 +158,22 @@ def make_classifier_train_step(model, has_batch_stats: bool = False,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def create_fm_state(model, key, sample_shape, lr: float = 1e-4) -> FMTrainState:
-    """Init params + Adam (ref lr default 1e-4, train_flow.py:36-37)."""
+def create_fm_state(model, key, sample_shape, lr: float = 1e-4,
+                    ema_decay: float | None = None) -> FMTrainState:
+    """Init params + Adam (ref lr default 1e-4, train_flow.py:36-37).
+    `ema_decay` non-None seeds ema_params = params (updated by the step
+    built with the same ema_decay)."""
     x = jnp.zeros((1,) + tuple(sample_shape), jnp.float32)
     t = jnp.zeros((1,), jnp.float32)
     variables = model.init(key, x, t)
+    # ema starts as a COPY: aliasing the params buffers would make the
+    # donated train step pass the same buffer twice (donation error —
+    # caught by the CPU CLI drive).
+    ema = (jax.tree_util.tree_map(jnp.copy, variables["params"])
+           if ema_decay is not None else None)
     return FMTrainState.create(
-        apply_fn=model.apply, params=variables["params"], tx=optax.adam(lr))
+        apply_fn=model.apply, params=variables["params"], tx=optax.adam(lr),
+        ema_params=ema)
 
 
 def create_ratio_state(model, key, x_shape, y_shape, lr: float = 1e-4,
