@@ -201,3 +201,45 @@ def test_smc_rejects_bad_solver():
         make_smc_sampler(lambda x, t: x, lambda y, t: y,
                          SMCSamplerConfig(solver="heun"),
                          lambda x, y: jnp.zeros(x.shape[0]))
+
+
+# ----------------------------------------------------- data-sharded particles
+
+def test_smc_sharded_particles_matches_single_device():
+    """SMC over a ('data',)-sharded particle population: weights/ESS are
+    global (softmax over the full B), resampling gathers across shards —
+    XLA inserts the collectives from the sharding annotations alone. Same
+    keys ⇒ same samples as the unsharded run (global PRNG semantics)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ratio_guided_multimodal_fm_tpu.parallel.mesh import make_mesh
+
+    s = 0.35
+    v_fn = _mixture_velocity((-2.0, 2.0), s)
+
+    def log_ratio(x, y):
+        return 8.0 * jnp.tanh(x[:, 0] * y[:, 0] / 2.0)
+
+    cfg = SMCSamplerConfig(guidance_strength=1.0, num_steps=16,
+                           x_shape=(1,), y_shape=(1,), churn=1.0,
+                           resample_tau=0.7)
+    sampler = make_smc_sampler(v_fn, v_fn, cfg, log_ratio)
+    b = 64
+    key = jax.random.PRNGKey(5)
+    x0 = jax.random.normal(jax.random.PRNGKey(20), (b, 1))
+    y0 = jax.random.normal(jax.random.PRNGKey(21), (b, 1))
+
+    x_ref, y_ref, _ = jax.jit(sampler, static_argnums=(1,))(
+        key, b, (x0, y0))
+
+    mesh = make_mesh(8, ("data",))
+    shard = NamedSharding(mesh, P("data"))
+    x0s = jax.device_put(x0, shard)
+    y0s = jax.device_put(y0, shard)
+    x_sh, y_sh, _ = jax.jit(sampler, static_argnums=(1,))(
+        key, b, (x0s, y0s))
+
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
