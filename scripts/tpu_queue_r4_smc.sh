@@ -59,6 +59,16 @@ for CH in 0.25 1.0; do
     && echo "saved $OUT/smc_churn$CH.json"
 done
 
+# few-step composition: SMC over the midpoint-12 fast grid (selection
+# events scale with steps — does particle guidance survive 24 NFE?)
+rm -f "$WD/outputs/evaluation_results.json"
+stage smc_fast python -m $CLI.evaluate \
+    --transform_type rotate90 --guidance_methods smc \
+    --guidance_strengths 2.0 --solver midpoint --num_steps 12 \
+    --num_samples 512 --dtype bf16 --fid
+cp "$WD/outputs/evaluation_results.json" "$OUT/smc_fast_midpoint12.json" \
+  && echo "saved $OUT/smc_fast_midpoint12.json"
+
 stage smc_bench python "$REPO/scripts/smc_bench.py"
 
 stage smc_grid python -m $CLI.sample \
