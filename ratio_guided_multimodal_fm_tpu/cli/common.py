@@ -102,6 +102,14 @@ def add_smc_flags(p: argparse.ArgumentParser):
     p.add_argument("--smc_t_max", type=float, default=0.9,
                    help="no resampling after this t (leave churn time to "
                         "decorrelate resampled clones)")
+    p.add_argument("--smc_group", type=int, default=16,
+                   help="stratified (island) selection group size: "
+                        "particles resample within independent groups of "
+                        "this size, preserving class diversity ACROSS "
+                        "groups (measured: global selection lets the "
+                        "ratio net's class bias collapse label entropy — "
+                        "docs/results_r4/smc_gamma_sweep.json). 0 = one "
+                        "global population; must divide the batch")
 
 
 def smc_config_from_args(args, strength: float, x_shape, y_shape):
@@ -113,6 +121,7 @@ def smc_config_from_args(args, strength: float, x_shape, y_shape):
         x_shape=tuple(x_shape), y_shape=tuple(y_shape),
         churn=args.smc_churn, resample_tau=args.smc_resample_tau,
         resample_t_min=args.smc_t_min, resample_t_max=args.smc_t_max,
+        resample_group=args.smc_group,
         log_ratio_clip=getattr(args, "ratio_clip", None),
         solver=args.solver, time_grid=args.time_grid,
         grid_power=args.grid_power)

@@ -132,6 +132,7 @@ def main(argv=None):
             x_shape=(32, 32, 1), y_shape=(32, 32, 3), key=key,
             churn=args.smc_churn, resample_tau=args.smc_resample_tau,
             resample_t_min=args.smc_t_min, resample_t_max=args.smc_t_max,
+            resample_group=args.smc_group,
             log_ratio_clip=args.ratio_clip, solver=args.solver,
             time_grid=args.time_grid, grid_power=args.grid_power,
             return_diagnostics=True)

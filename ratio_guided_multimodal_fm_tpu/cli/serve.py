@@ -75,7 +75,7 @@ class SamplerService:
                  solver: str = "euler", time_grid: str = "uniform",
                  grid_power: float = 2.0, smc_churn: float = 0.5,
                  smc_resample_tau: float = 0.5, smc_t_min: float = 0.2,
-                 smc_t_max: float = 0.9):
+                 smc_t_max: float = 0.9, smc_group: int = 16):
         self.batch_size = batch_size
         self.x_shape = tuple(x_shape)
         self.y_shape = tuple(y_shape)
@@ -84,7 +84,8 @@ class SamplerService:
         self.time_grid = time_grid
         self.grid_power = grid_power
         self.smc = {"churn": smc_churn, "resample_tau": smc_resample_tau,
-                    "t_min": smc_t_min, "t_max": smc_t_max}
+                    "t_min": smc_t_min, "t_max": smc_t_max,
+                    "group": smc_group}
         self._samplers = {}
         self._fm_x, self._fm_y, self._log_ratio = fm_x_fn, fm_y_fn, log_ratio_fn
         self._fm_pair = fm_pair_fn  # merged-pair evaluation (models/merged.py)
@@ -157,6 +158,7 @@ class SamplerService:
                     resample_tau=self.smc["resample_tau"],
                     resample_t_min=self.smc["t_min"],
                     resample_t_max=self.smc["t_max"],
+                    resample_group=self.smc["group"],
                     solver=self.solver, time_grid=self.time_grid,
                     grid_power=self.grid_power)
                 inner = jax.jit(
@@ -373,7 +375,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
     smc_kw = dict(smc_churn=args.smc_churn,
                   smc_resample_tau=args.smc_resample_tau,
-                  smc_t_min=args.smc_t_min, smc_t_max=args.smc_t_max)
+                  smc_t_min=args.smc_t_min, smc_t_max=args.smc_t_max,
+                  smc_group=args.smc_group)
 
     from ratio_guided_multimodal_fm_tpu.cli.common import init_runtime
     init_runtime(args)   # --device cpu override + multi-host init

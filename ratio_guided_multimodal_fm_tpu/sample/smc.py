@@ -136,6 +136,20 @@ class SMCSamplerConfig:
     # ... but only inside this t-window (see module docstring).
     resample_t_min: float = 0.2
     resample_t_max: float = 0.9
+    # Stratified ("island") selection: 0 = one global population; G > 0
+    # partitions the B particles into ceil(B/G) groups that resample
+    # INDEPENDENTLY (ESS test, systematic draw, and weight reset all
+    # per-group; a non-dividing B gets phantom -inf-weight padding that
+    # is never selected). Why this exists (measured, docs/results_r4/
+    # smc_gamma_sweep.json): with one global population the ratio net's
+    # systematic class-level biases make selection a contest BETWEEN
+    # classes — a few high-r̂ lineages take over and label entropy
+    # collapses (0.08-1.5 vs mc_feng's ~2.0). Within a small group,
+    # selection still favors coherent pairs, but groups never compete —
+    # class diversity across groups survives by construction (the same
+    # decomposition that makes the chunked-fresh-MC default work for
+    # mc_feng).
+    resample_group: int = 0
     # Optional |log r̂| clip (same semantics as GuidedSamplerConfig).
     log_ratio_clip: Optional[float] = None
     solver: str = "euler"
@@ -197,6 +211,15 @@ def make_smc_sampler_p(
             y_t = jax.random.normal(ky, (num_samples,) + cfg.y_shape,
                                     jnp.float32)
         b = num_samples
+        g = int(cfg.resample_group or 0)
+        if g > 0:
+            ng = -(-b // g)                     # ceil: phantom padding
+            pad = ng * g - b
+            # phantom slots carry -inf log-weight: zero selection mass,
+            # zero ESS contribution, and the post-resample reset keeps
+            # them at -inf (real_mask). Gathers self-map them.
+            real_mask = jnp.arange(ng * g) < b   # [NG*G]
+            neg_inf = jnp.float32(-jnp.inf)
 
         def step(carry, tdt):
             x_t, y_t, k, logw, l_prev = carry
@@ -217,20 +240,45 @@ def make_smc_sampler_p(
             l_prev = l_now
 
             # -- selection: systematic resampling on collapsed ESS --
-            m = jnp.max(logw)
-            w = jnp.exp(logw - m)
-            w = w / jnp.sum(w)
-            ess = 1.0 / jnp.sum(w * w)
             k, ku, knx, kny = jax.random.split(k, 4)
-            do = ((ess < cfg.resample_tau * b)
-                  & (t >= cfg.resample_t_min)
-                  & (t <= cfg.resample_t_max))
-            idx = systematic_resample_idx(w, jax.random.uniform(ku))
-            idx = jnp.where(do, idx, jnp.arange(b))
+            in_window = ((t >= cfg.resample_t_min)
+                         & (t <= cfg.resample_t_max))
+            if g > 0:
+                # Stratified/island selection: each group runs its own
+                # ESS test + systematic draw (see resample_group docs).
+                lwp = jnp.where(real_mask, jnp.pad(logw, (0, pad)),
+                                neg_inf)
+                lw = lwp.reshape(ng, g)
+                wg = jax.nn.softmax(lw, axis=1)                  # [NG, G]
+                # real particles per group (phantoms carry zero mass)
+                n_real = real_mask.reshape(ng, g).sum(axis=1)
+                ess_g = 1.0 / jnp.sum(wg * wg, axis=1)           # [NG]
+                do_g = (ess_g < cfg.resample_tau * n_real) & in_window
+                us = jax.random.uniform(ku, (ng,))
+                idx_g = jax.vmap(systematic_resample_idx)(wg, us)
+                offs = (jnp.arange(ng) * g)[:, None]
+                idx_p = jnp.where(do_g[:, None], idx_g + offs,
+                                  jnp.arange(ng * g).reshape(ng, g))
+                idx = idx_p.reshape(ng * g)[:b]
+                lw_new = jnp.where(do_g[:, None], 0.0, lw).reshape(ng * g)
+                logw = jnp.where(real_mask, lw_new, neg_inf)[:b]
+                # population-scale diagnostics (comparable across modes):
+                # sum of group ESS == population ESS when groups are
+                # equally weighted; 'resampled' = fraction of groups.
+                ess = jnp.sum(ess_g)
+                do = jnp.mean(do_g.astype(jnp.float32))
+            else:
+                m = jnp.max(logw)
+                w = jnp.exp(logw - m)
+                w = w / jnp.sum(w)
+                ess = 1.0 / jnp.sum(w * w)
+                do = (ess < cfg.resample_tau * b) & in_window
+                idx = systematic_resample_idx(w, jax.random.uniform(ku))
+                idx = jnp.where(do, idx, jnp.arange(b))
+                logw = jnp.where(do, jnp.zeros_like(logw), logw)
             x_t, y_t = x_t[idx], y_t[idx]
             v_x, v_y = v_x[idx], v_y[idx]
             l_prev = l_prev[idx]
-            logw = jnp.where(do, jnp.zeros_like(logw), logw)
 
             # -- proposal: flow advance (+ optional half-step correction) --
             if cfg.solver == "midpoint":
@@ -268,8 +316,13 @@ def make_smc_sampler_p(
         # resample would emit exact duplicates (no churn time left to
         # decorrelate them) — by construction the in-window resampling
         # keeps ESS >= tau·B, so the residual skew is bounded.
-        w = jax.nn.softmax(logw)
-        diags["final_ess"] = 1.0 / jnp.sum(w * w)
+        if g > 0:
+            lwp = jnp.where(real_mask, jnp.pad(logw, (0, pad)), neg_inf)
+            wg = jax.nn.softmax(lwp.reshape(ng, g), axis=1)
+            diags["final_ess"] = jnp.sum(1.0 / jnp.sum(wg * wg, axis=1))
+        else:
+            w = jax.nn.softmax(logw)
+            diags["final_ess"] = 1.0 / jnp.sum(w * w)
         return x_t, y_t, diags
 
     return sampler
@@ -309,6 +362,7 @@ def sample_bimodal_smc(
     resample_tau: float = 0.5,
     resample_t_min: float = 0.2,
     resample_t_max: float = 0.9,
+    resample_group: int = 0,
     log_ratio_clip: Optional[float] = None,
     solver: str = "euler",
     time_grid: str = "uniform",
@@ -322,7 +376,8 @@ def sample_bimodal_smc(
         guidance_strength=guidance_strength, num_steps=num_steps,
         x_shape=x_shape, y_shape=y_shape, churn=churn,
         resample_tau=resample_tau, resample_t_min=resample_t_min,
-        resample_t_max=resample_t_max, log_ratio_clip=log_ratio_clip,
+        resample_t_max=resample_t_max, resample_group=resample_group,
+        log_ratio_clip=log_ratio_clip,
         solver=solver, time_grid=time_grid, grid_power=grid_power)
     sampler = jax.jit(make_smc_sampler(fm_x_fn, fm_y_fn, cfg, log_ratio_fn),
                       static_argnums=(1,))
