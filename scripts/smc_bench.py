@@ -78,7 +78,7 @@ def main():
     out["none"] = {"sec": round(dt, 3), "samples_per_sec": round(B / dt, 1)}
     print("none:", out["none"], flush=True)
 
-    cfg_s = SMCSamplerConfig(1.0, num_steps=STEPS, **shp)
+    cfg_s = SMCSamplerConfig(1.0, num_steps=STEPS, resample_group=16, **shp)
     s_smc = jax.jit(make_smc_sampler(fm_x, fm_y, cfg_s, log_r),
                     static_argnums=(1,))
     dt = timed(lambda k: s_smc(k, B))
