@@ -52,4 +52,22 @@ for C in 1.5 2.0; do
     && echo "saved $OUT/smc_churn$C.json"
 done
 
+# Cross-modal (exp-2) SMC at churn=1.0 — the exp-2 queue's own SMC sweep
+# ran at the old default churn 0.5; this adds the churn-corrected rows.
+WD2=$REPO/parity_runs/exp2_full
+stage2() {
+  local name=$1; shift
+  preflight "$name" || exit 1
+  bash "$STAGE" "$name" "$WD2" "$@" || { echo "stage $name FAILED"; exit 1; }
+  sleep 150
+}
+rm -f "$WD2/outputs/mnist_svhn/evaluation_results.json"
+stage2 smc_exp2_c1 python -m $CLI.evaluate_mnist_svhn \
+    --guidance_methods smc \
+    --guidance_strengths 1.0 2.0 5.0 --smc_churn 1.0 \
+    --num_samples 512 --dtype bf16 --fid
+cp "$WD2/outputs/mnist_svhn/evaluation_results.json" \
+   "$OUT/exp2_smc_churn1.json" \
+  && echo "saved $OUT/exp2_smc_churn1.json"
+
 echo "QUEUE_R4SMC3 DONE"
