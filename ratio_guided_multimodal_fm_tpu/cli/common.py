@@ -93,6 +93,14 @@ def add_smc_flags(p: argparse.ArgumentParser):
                    help="Langevin churn coefficient (beta_t = churn*(1-t)^2;"
                         " regenerates diversity after resampling; 0 = "
                         "deterministic ODE proposal)")
+    p.add_argument("--smc_churn_iters", type=int, default=1,
+                   help="Langevin iterations per ODE step (sample/smc.py "
+                        "SMCSamplerConfig.churn_iters): >1 adds pure "
+                        "marginal-preserving mixing iterations at t+dt "
+                        "(2 extra U-Net evals each) — buys selection-"
+                        "to-selection mixing at FEW ODE steps, where the "
+                        "mixing budget (not integration error) is what "
+                        "limits SMC coherence")
     p.add_argument("--smc_resample_tau", type=float, default=0.5,
                    help="systematic-resample when population ESS < tau*B")
     p.add_argument("--smc_t_min", type=float, default=0.2,
@@ -119,7 +127,9 @@ def smc_config_from_args(args, strength: float, x_shape, y_shape):
     return SMCSamplerConfig(
         guidance_strength=strength, num_steps=args.num_steps,
         x_shape=tuple(x_shape), y_shape=tuple(y_shape),
-        churn=args.smc_churn, resample_tau=args.smc_resample_tau,
+        churn=args.smc_churn,
+        churn_iters=getattr(args, "smc_churn_iters", 1),
+        resample_tau=args.smc_resample_tau,
         resample_t_min=args.smc_t_min, resample_t_max=args.smc_t_max,
         resample_group=args.smc_group,
         log_ratio_clip=getattr(args, "ratio_clip", None),

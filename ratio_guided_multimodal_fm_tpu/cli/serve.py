@@ -74,6 +74,7 @@ class SamplerService:
                  linger_ms: float = 10.0, fm_pair_fn=None,
                  solver: str = "euler", time_grid: str = "uniform",
                  grid_power: float = 2.0, smc_churn: float = 0.5,
+                 smc_churn_iters: int = 1,
                  smc_resample_tau: float = 0.5, smc_t_min: float = 0.2,
                  smc_t_max: float = 0.9, smc_group: int = 16):
         self.batch_size = batch_size
@@ -83,7 +84,8 @@ class SamplerService:
         self.solver = solver
         self.time_grid = time_grid
         self.grid_power = grid_power
-        self.smc = {"churn": smc_churn, "resample_tau": smc_resample_tau,
+        self.smc = {"churn": smc_churn, "churn_iters": smc_churn_iters,
+                    "resample_tau": smc_resample_tau,
                     "t_min": smc_t_min, "t_max": smc_t_max,
                     "group": smc_group}
         self._samplers = {}
@@ -155,6 +157,7 @@ class SamplerService:
                     num_steps=self.num_steps,
                     x_shape=self.x_shape, y_shape=self.y_shape,
                     churn=self.smc["churn"],
+                    churn_iters=self.smc["churn_iters"],
                     resample_tau=self.smc["resample_tau"],
                     resample_t_min=self.smc["t_min"],
                     resample_t_max=self.smc["t_max"],
@@ -374,6 +377,7 @@ def main(argv=None):
     add_common_flags(parser)
     args = parser.parse_args(argv)
     smc_kw = dict(smc_churn=args.smc_churn,
+                  smc_churn_iters=args.smc_churn_iters,
                   smc_resample_tau=args.smc_resample_tau,
                   smc_t_min=args.smc_t_min, smc_t_max=args.smc_t_max,
                   smc_group=args.smc_group)

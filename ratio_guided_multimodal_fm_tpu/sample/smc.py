@@ -131,6 +131,18 @@ class SMCSamplerConfig:
     # stochastic term (resampled clones then stay identical — only useful
     # for ablations/identity tests).
     churn: float = 0.5
+    # Langevin iterations per ODE step: 1 = the single combined SDE step
+    # (baseline). k > 1 adds k-1 PURE Langevin iterations at the
+    # post-advance time t+dt (fresh velocity eval each — the score moves
+    # with the particle), each a marginal-preserving MCMC step targeting
+    # p_{t+dt} with step size η = churn·(1-t-dt)²·dt. Why: the churn
+    # ablation (docs/results_r4/smc_churn*.json) shows Langevin mixing
+    # between selections is the knob that converts resampling pressure
+    # into coherence WITHOUT eating diversity — and at few ODE steps
+    # (midpoint-12: 0.537 vs euler-100's 0.773) the mixing budget, not
+    # the integration error, is what collapses. Extra iterations buy
+    # mixing at few steps for 2 U-Net evals each. No-op when churn == 0.
+    churn_iters: int = 1
     # Resample when population ESS < resample_tau · B ...
     resample_tau: float = 0.5
     # ... but only inside this t-window (see module docstring).
@@ -185,6 +197,7 @@ def make_smc_sampler_p(
                          f"got {cfg.time_grid!r}")
     gamma = float(cfg.guidance_strength)
     churn = float(cfg.churn)
+    extra_churn = max(int(cfg.churn_iters) - 1, 0) if churn > 0.0 else 0
 
     def sampler(params, key: jax.Array, num_samples: int, init_noise=None):
         params_x, params_y, ratio_vars = params
@@ -299,6 +312,27 @@ def make_smc_sampler_p(
                 y_new = (y_new - churn * sig * (y_t - t * v_y) * dt
                          + noise_std * jax.random.normal(kny, y_t.shape))
 
+            # -- extra Langevin mixing at t+dt (churn_iters > 1) --
+            # Pure MCMC iterations targeting p_{t+dt}: drift
+            # β·s·dt = -churn·(1-t')·(x - t'·v(x))·dt with a FRESH
+            # velocity eval per iteration, noise std sqrt(2β·dt).
+            # Marginal-preserving for the exact score (invariant
+            # distribution); vanishes as (1-t')² near t'=1.
+            for _ in range(extra_churn):
+                t_next = t + dt
+                sig_n = 1.0 - t_next
+                tb_n = jnp.full((b,), t_next, jnp.float32)
+                std_n = jnp.sqrt(2.0 * churn * dt) * sig_n
+                k, kjx, kjy = jax.random.split(k, 3)
+                x_new = (x_new
+                         - churn * sig_n * dt
+                         * (x_new - t_next * fm_x(x_new, tb_n))
+                         + std_n * jax.random.normal(kjx, x_new.shape))
+                y_new = (y_new
+                         - churn * sig_n * dt
+                         * (y_new - t_next * fm_y(y_new, tb_n))
+                         + std_n * jax.random.normal(kjy, y_new.shape))
+
             diag = {
                 "smc_ess": ess,
                 "resampled": do.astype(jnp.float32),
@@ -359,6 +393,7 @@ def sample_bimodal_smc(
     y_shape: Tuple[int, ...] = (28, 28, 1),
     key: Optional[jax.Array] = None,
     churn: float = 0.5,
+    churn_iters: int = 1,
     resample_tau: float = 0.5,
     resample_t_min: float = 0.2,
     resample_t_max: float = 0.9,
@@ -375,6 +410,7 @@ def sample_bimodal_smc(
     cfg = SMCSamplerConfig(
         guidance_strength=guidance_strength, num_steps=num_steps,
         x_shape=x_shape, y_shape=y_shape, churn=churn,
+        churn_iters=churn_iters,
         resample_tau=resample_tau, resample_t_min=resample_t_min,
         resample_t_max=resample_t_max, resample_group=resample_group,
         log_ratio_clip=log_ratio_clip,

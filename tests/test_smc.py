@@ -130,6 +130,44 @@ def test_gamma0_churn0_equals_plain_euler():
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y1_ref))
 
 
+def test_churn_iters_preserve_gaussian_marginal():
+    """churn_iters=3 (two extra pure-Langevin iterations per ODE step at
+    t+dt, fresh velocity eval each) must STILL produce the analytic
+    target N(m, s²) at γ=0 — Langevin with the exact score leaves p_{t+dt}
+    invariant, so extra mixing never moves the marginal."""
+    m, s = 0.4, 1.1
+    v_fn = _gaussian_velocity(m, s)
+    cfg = SMCSamplerConfig(guidance_strength=0.0, num_steps=64,
+                           x_shape=(1,), y_shape=(1,),
+                           churn=1.0, churn_iters=3)
+    sampler = jax.jit(
+        make_smc_sampler(v_fn, v_fn, cfg, lambda x, y: jnp.zeros(x.shape[0])),
+        static_argnums=(1,))
+    x1, y1, _ = sampler(jax.random.PRNGKey(5), 8192)
+    for out in (np.asarray(x1), np.asarray(y1)):
+        assert abs(out.mean() - m) < 0.05, out.mean()
+        assert abs(out.std() - s) < 0.06, out.std()
+
+
+def test_churn_iters_noop_without_churn():
+    """churn=0 gates the extra iterations off statically: churn_iters>1
+    must stay bit-identical to the plain deterministic ODE."""
+    m, s = 0.5, 1.2
+    v_fn = _gaussian_velocity(m, s)
+    cfg = SMCSamplerConfig(guidance_strength=0.0, num_steps=24,
+                           x_shape=(1,), y_shape=(1,),
+                           churn=0.0, churn_iters=4)
+    sampler = make_smc_sampler(v_fn, v_fn, cfg,
+                               lambda x, y: jnp.zeros(x.shape[0]))
+    x0 = jax.random.normal(jax.random.PRNGKey(10), (32, 1))
+    y0 = jax.random.normal(jax.random.PRNGKey(11), (32, 1))
+    x1, y1, _ = sampler(jax.random.PRNGKey(3), 32, init_noise=(x0, y0))
+    np.testing.assert_array_equal(np.asarray(x1),
+                                  np.asarray(ode_scan(v_fn, x0, 24)))
+    np.testing.assert_array_equal(np.asarray(y1),
+                                  np.asarray(ode_scan(v_fn, y0, 24)))
+
+
 # ------------------------------------------------------------- end-to-end
 
 def _mixture_velocity(mus, s):
