@@ -89,7 +89,7 @@ def add_smc_flags(p: argparse.ArgumentParser):
     (sample/smc.py): Langevin churn + systematic resampling on the ratio
     potential — couples pairs WITHOUT a candidate pool, so coherence never
     costs snapping onto N_mc pre-generated samples."""
-    p.add_argument("--smc_churn", type=float, default=0.5,
+    p.add_argument("--smc_churn", type=float, default=1.0,
                    help="Langevin churn coefficient (beta_t = churn*(1-t)^2;"
                         " regenerates diversity after resampling; 0 = "
                         "deterministic ODE proposal)")

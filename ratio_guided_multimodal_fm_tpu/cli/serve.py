@@ -73,7 +73,7 @@ class SamplerService:
                  batch_size=64, num_steps=100, mc_batch_size=256, seed=0,
                  linger_ms: float = 10.0, fm_pair_fn=None,
                  solver: str = "euler", time_grid: str = "uniform",
-                 grid_power: float = 2.0, smc_churn: float = 0.5,
+                 grid_power: float = 2.0, smc_churn: float = 1.0,
                  smc_churn_iters: int = 1,
                  smc_resample_tau: float = 0.5, smc_t_min: float = 0.2,
                  smc_t_max: float = 0.9, smc_group: int = 16):

@@ -130,7 +130,7 @@ class SMCSamplerConfig:
     # Langevin churn coefficient: β_t = churn·(1-t)². 0 disables the
     # stochastic term (resampled clones then stay identical — only useful
     # for ablations/identity tests).
-    churn: float = 0.5
+    churn: float = 1.0
     # Langevin iterations per ODE step: 1 = the single combined SDE step
     # (baseline). k > 1 adds k-1 PURE Langevin iterations at the
     # post-advance time t+dt (fresh velocity eval each — the score moves
@@ -392,7 +392,7 @@ def sample_bimodal_smc(
     x_shape: Tuple[int, ...] = (28, 28, 1),
     y_shape: Tuple[int, ...] = (28, 28, 1),
     key: Optional[jax.Array] = None,
-    churn: float = 0.5,
+    churn: float = 1.0,
     churn_iters: int = 1,
     resample_tau: float = 0.5,
     resample_t_min: float = 0.2,
