@@ -117,7 +117,8 @@ def add_smc_flags(p: argparse.ArgumentParser):
                         "groups (measured: global selection lets the "
                         "ratio net's class bias collapse label entropy — "
                         "docs/results_r4/smc_gamma_sweep.json). 0 = one "
-                        "global population; must divide the batch")
+                        "global population; any batch size works (a "
+                        "non-dividing remainder is phantom-padded)")
 
 
 def smc_config_from_args(args, strength: float, x_shape, y_shape):
@@ -262,7 +263,9 @@ def multihost_adapt(state, step_fn, extract):
         params=replicate_tree(state.params, mesh),
         opt_state=replicate_tree(state.opt_state, mesh),
         **({"batch_stats": replicate_tree(state.batch_stats, mesh)}
-           if getattr(state, "batch_stats", None) is not None else {}))
+           if getattr(state, "batch_stats", None) is not None else {}),
+        **({"ema_params": replicate_tree(state.ema_params, mesh)}
+           if getattr(state, "ema_params", None) is not None else {}))
     rep = _jax.sharding.NamedSharding(mesh, _jax.sharding.PartitionSpec())
 
     def step2(s, b, k):
@@ -357,8 +360,11 @@ def report_guidance_diagnostics(diags, num_steps: int, save_path=None,
         if "ess_mean" in r:
             parts.append(f"ESS mean={r['ess_mean']:.1f} min={r['ess_min']:.1f}")
         if "smc_ess" in r:
+            # 'resampled' is 0/1 in global mode, the FRACTION of islands
+            # that resampled in island mode — print it as a float (int()
+            # would show 0 for a step where 15/32 islands fired).
             parts.append(f"SMC-ESS={r['smc_ess']:.1f}"
-                         f" resampled={int(r.get('resampled', 0))}")
+                         f" resampled={r.get('resampled', 0.0):.2f}")
         for k in ("v_x_norm", "v_y_norm", "g_x_norm", "g_y_norm"):
             if k in r:
                 parts.append(f"{k.replace('_norm','')}||={r[k]:.3f}")

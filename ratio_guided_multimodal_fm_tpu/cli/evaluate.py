@@ -251,6 +251,10 @@ def main(argv=None):
             if method == "smc":
                 result["smc_final_ess"] = float(
                     np.mean(merged_diags["final_ess"]))
+                # Sum over steps of the per-step 'resampled' value: an
+                # event COUNT in global mode, the island-average event
+                # count in island mode (each step contributes the
+                # fraction of islands that resampled).
                 result["smc_resamples"] = float(
                     np.sum(merged_diags["resampled"]))
                 result["smc_churn"] = args.smc_churn

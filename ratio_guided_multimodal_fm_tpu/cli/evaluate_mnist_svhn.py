@@ -229,6 +229,8 @@ def main(argv=None):
             if method == "smc":
                 result["smc_final_ess"] = float(
                     np.mean(merged_diags["final_ess"]))
+                # Event count (global mode) / island-average event count
+                # (island mode) — see cli/evaluate.py.
                 result["smc_resamples"] = float(
                     np.sum(merged_diags["resampled"]))
                 result["smc_churn"] = args.smc_churn

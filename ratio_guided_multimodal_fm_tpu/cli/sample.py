@@ -121,7 +121,8 @@ def main(argv=None):
             log_ratio, guidance_strength=args.guidance_strength,
             num_samples=args.num_samples, num_steps=args.num_steps,
             x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key,
-            churn=args.smc_churn, resample_tau=args.smc_resample_tau,
+            churn=args.smc_churn, churn_iters=args.smc_churn_iters,
+            resample_tau=args.smc_resample_tau,
             resample_t_min=args.smc_t_min, resample_t_max=args.smc_t_max,
             resample_group=args.smc_group,
             log_ratio_clip=args.ratio_clip, solver=args.solver,

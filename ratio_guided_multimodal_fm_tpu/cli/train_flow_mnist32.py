@@ -64,6 +64,13 @@ def run_flow_training(model, sample_shape, loader, args, ckpt_prefix: str):
         else:
             from ratio_guided_multimodal_fm_tpu.train.checkpoint import load_params
             state = state.replace(params=load_params(args.resume, state.params))
+        if state.ema_params is not None:
+            # Re-seed the Polyak average from the RESTORED weights (a
+            # copy, not an alias — donated steps must not see the same
+            # buffer twice): otherwise the fresh random init would
+            # contaminate the EMA for ~1/(1-decay) steps after resume.
+            state = state.replace(ema_params=jax.tree_util.tree_map(
+                jnp.array, state.params))
         print(f"  Resumed at epoch {start_epoch}, best_loss={best_loss:.4f}")
 
     # Step-granular preemption resume takes precedence over the

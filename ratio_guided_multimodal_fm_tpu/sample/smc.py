@@ -269,6 +269,13 @@ def make_smc_sampler_p(
                 do_g = (ess_g < cfg.resample_tau * n_real) & in_window
                 us = jax.random.uniform(ku, (ng,))
                 idx_g = jax.vmap(systematic_resample_idx)(wg, us)
+                # Phantoms are trailing zero-weight slots, but the cdf
+                # rounding guard in systematic_resample_idx pins the LAST
+                # slot (a phantom in the padded group) to cdf=1.0 — a
+                # position landing in the f32 cumsum gap (~1e-7) could
+                # select it. Clamp into the real prefix: equivalent to the
+                # global mode's "rounding gap goes to the last real slot".
+                idx_g = jnp.minimum(idx_g, n_real[:, None] - 1)
                 offs = (jnp.arange(ng) * g)[:, None]
                 idx_p = jnp.where(do_g[:, None], idx_g + offs,
                                   jnp.arange(ng * g).reshape(ng, g))
@@ -317,21 +324,32 @@ def make_smc_sampler_p(
             # β·s·dt = -churn·(1-t')·(x - t'·v(x))·dt with a FRESH
             # velocity eval per iteration, noise std sqrt(2β·dt).
             # Marginal-preserving for the exact score (invariant
-            # distribution); vanishes as (1-t')² near t'=1.
-            for _ in range(extra_churn):
+            # distribution); vanishes as (1-t')² near t'=1 — so the
+            # FINAL step (sig_n ≈ 0) is gated off entirely via lax.cond:
+            # its iterations would be 2 wasted U-Net evals each whose
+            # contribution is multiplied by ~0 (XLA cannot DCE them —
+            # sig_n is a traced value).
+            if extra_churn > 0:
                 t_next = t + dt
                 sig_n = 1.0 - t_next
-                tb_n = jnp.full((b,), t_next, jnp.float32)
-                std_n = jnp.sqrt(2.0 * churn * dt) * sig_n
-                k, kjx, kjy = jax.random.split(k, 3)
-                x_new = (x_new
-                         - churn * sig_n * dt
-                         * (x_new - t_next * fm_x(x_new, tb_n))
-                         + std_n * jax.random.normal(kjx, x_new.shape))
-                y_new = (y_new
-                         - churn * sig_n * dt
-                         * (y_new - t_next * fm_y(y_new, tb_n))
-                         + std_n * jax.random.normal(kjy, y_new.shape))
+
+                def _mix(ops):
+                    x, y, kk = ops
+                    tb_n = jnp.full((b,), t_next, jnp.float32)
+                    std_n = jnp.sqrt(2.0 * churn * dt) * sig_n
+                    for _ in range(extra_churn):
+                        kk, kjx, kjy = jax.random.split(kk, 3)
+                        x = (x - churn * sig_n * dt
+                             * (x - t_next * fm_x(x, tb_n))
+                             + std_n * jax.random.normal(kjx, x.shape))
+                        y = (y - churn * sig_n * dt
+                             * (y - t_next * fm_y(y, tb_n))
+                             + std_n * jax.random.normal(kjy, y.shape))
+                    return x, y, kk
+
+                x_new, y_new, k = jax.lax.cond(
+                    sig_n > 1e-6, _mix, lambda ops: ops,
+                    (x_new, y_new, k))
 
             diag = {
                 "smc_ess": ess,

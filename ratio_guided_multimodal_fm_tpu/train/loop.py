@@ -346,8 +346,12 @@ def train_flow_matching_epochs(
     the sample/evaluate CLIs load it with --ema.
     """
     def _ema_path(path: str) -> str:
-        head, _, tail = path.rpartition("_")
-        return f"{head}_ema_{tail}" if head else f"{path}_ema"
+        # Insert the suffix into the BASENAME only ('my_runs/best' ->
+        # 'my_runs/ema_best', not 'my_ema_runs/best').
+        d, base = os.path.split(path)
+        head, _, tail = base.rpartition("_")
+        new = f"{head}_ema_{tail}" if head else f"{base}_ema"
+        return os.path.join(d, new) if d else new
 
     def save_best(s, epoch, best):
         if best_path:

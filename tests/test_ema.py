@@ -79,3 +79,26 @@ def test_epoch_driver_saves_ema_sibling(tmp_path):
                  jax.tree_util.tree_leaves(final_state.ema_params),
                  jax.tree_util.tree_leaves(final_state.params))]
     assert max(diffs) > 0
+
+def test_ema_sibling_path_handles_underscored_dirs(tmp_path):
+    """Regression: _ema_path must suffix the BASENAME, not the last '_'
+    of the whole path — best_path='my_runs/best' goes to
+    'my_runs/best_ema', never 'my_ema_runs/best'."""
+    model = _model()
+    d = 0.9
+    state = create_fm_state(model, jax.random.PRNGKey(0), (H, H, 1),
+                            lr=1e-3, ema_decay=d)
+    step = make_fm_train_step(model, donate=False, ema_decay=d)
+    rng = np.random.RandomState(0)
+    batches = [jnp.asarray(rng.randn(8, H, H, 1).astype(np.float32))]
+    run_dir = tmp_path / "my_runs"
+    run_dir.mkdir()
+    best = str(run_dir / "best")            # no underscore in the basename
+    final_state, _, _ = train_flow_matching_epochs(
+        state, step, lambda e, skip=0: iter(batches[skip:]), 1, RNG(7),
+        best_path=best, log_fn=lambda *_: None)
+    assert not (tmp_path / "my_ema_runs").exists()
+    restored = load_checkpoint(str(run_dir / "best_ema"),
+                               target=jax.tree_util.tree_map(
+                                   np.asarray, final_state.ema_params))
+    assert restored is not None
