@@ -252,3 +252,77 @@ def test_two_process_skewed_preemption_agrees(tmp_path):
     )
     saved = load_checkpoint(ck)
     assert int(saved["step"]) == 2 and int(saved["epoch"]) == 0
+
+
+EMA_WORKER = HEADER + COMMON + textwrap.dedent("""
+    from ratio_guided_multimodal_fm_tpu.cli.common import multihost_adapt
+    from ratio_guided_multimodal_fm_tpu.parallel.multihost import (
+        maybe_init_distributed)
+    from ratio_guided_multimodal_fm_tpu.models.unet import FlexibleUNet
+    from ratio_guided_multimodal_fm_tpu.train.steps import (
+        create_fm_state, make_fm_train_step)
+
+    assert maybe_init_distributed()
+    fm = FlexibleUNet(in_channels=1, img_size=H, model_channels=8,
+                      channel_mult=(1, 2), num_res_blocks=1)
+    state = create_fm_state(fm, jax.random.PRNGKey(0), (H, H, 1),
+                            lr=1e-3, ema_decay=0.9)
+    step = make_fm_train_step(fm, ema_decay=0.9)
+    state, step2, extract = multihost_adapt(
+        state, lambda s, x, k: step(s, x, k), jnp.asarray)
+    state, best, hist = train_epochs(
+        state, step2, lambda e: map(extract, data_iter(e)),
+        EPOCHS, RNG(7), log_fn=lambda *_: None)
+    fp_ema = float(sum(float(jnp.sum(l))
+                   for l in jax.tree_util.tree_leaves(state.ema_params)))
+    fp_par = float(sum(float(jnp.sum(l))
+                   for l in jax.tree_util.tree_leaves(state.params)))
+    print(f"EMAFP {{jax.process_index()}} {{fp_ema:.10f}} {{fp_par:.10f}}",
+          flush=True)
+""")
+
+
+@pytest.mark.multiprocess
+def test_two_process_ema_training(tmp_path):
+    """Regression for multihost_adapt dropping ema_params: before the fix,
+    --ema_decay under 2 processes mixed a process-local ema tree into the
+    global SPMD step (jit incompatible-devices crash). The run must
+    complete and both processes must hold the SAME (replicated) EMA."""
+    worker = tmp_path / "ema_worker.py"
+    worker.write_text(EMA_WORKER.format(repo=REPO, h=H, nb=N_BATCHES,
+                                        bs=BATCH, ep=EPOCHS))
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "RGMF_COORDINATOR": f"127.0.0.1:{port}",
+            "RGMF_NUM_PROCESSES": "2",
+            "RGMF_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    try:
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        outs = [p.communicate()[0] for p in procs]
+        pytest.fail("2-process EMA training timed out:\n"
+                    + "\n----\n".join(o[-2000:] for o in outs))
+
+    fps = {}
+    for o in outs:
+        lines = [l for l in o.splitlines() if l.startswith("EMAFP")]
+        assert len(lines) == 1, f"worker output:\n{o[-3000:]}"
+        _, pi, ema, par = lines[0].split()
+        fps[int(pi)] = (float(ema), float(par))
+    assert fps[0] == fps[1]                    # replicated EMA + params
+    assert fps[0][0] != fps[0][1]              # EMA lags the raw params
