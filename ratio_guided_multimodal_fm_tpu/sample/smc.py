@@ -150,6 +150,9 @@ class SMCSamplerConfig:
     resample_t_max: float = 0.9
     # Stratified ("island") selection: 0 = one global population; G > 0
     # partitions the B particles into ceil(B/G) groups that resample
+    # (default 16 = the production knee, matching the CLI/serve default —
+    # the global mode is the measured diversity-collapse pathology and is
+    # kept only as the ablation)
     # INDEPENDENTLY (ESS test, systematic draw, and weight reset all
     # per-group; a non-dividing B gets phantom -inf-weight padding that
     # is never selected). Why this exists (measured, docs/results_r4/
@@ -161,7 +164,7 @@ class SMCSamplerConfig:
     # class diversity across groups survives by construction (the same
     # decomposition that makes the chunked-fresh-MC default work for
     # mc_feng).
-    resample_group: int = 0
+    resample_group: int = 16
     # Optional |log r̂| clip (same semantics as GuidedSamplerConfig).
     log_ratio_clip: Optional[float] = None
     solver: str = "euler"
@@ -415,7 +418,7 @@ def sample_bimodal_smc(
     resample_tau: float = 0.5,
     resample_t_min: float = 0.2,
     resample_t_max: float = 0.9,
-    resample_group: int = 0,
+    resample_group: int = 16,
     log_ratio_clip: Optional[float] = None,
     solver: str = "euler",
     time_grid: str = "uniform",

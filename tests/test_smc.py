@@ -13,6 +13,8 @@ composed sampler end-to-end on a closed-form bimodal coupling:
   above unguided while keeping BOTH modes populated (the diversity
   property mc_feng's argmax steering loses).
 """
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -201,10 +203,12 @@ def test_smc_improves_coherence_and_keeps_both_modes():
         return 8.0 * jnp.tanh(x[:, 0] * y[:, 0] / 2.0)
 
     def run(gamma, churn, seed):
+        # resample_group=0: characterize the GLOBAL selection scheme (the
+        # library/CLI default is island-16; global is kept as the ablation)
         cfg = SMCSamplerConfig(guidance_strength=gamma, num_steps=48,
                                x_shape=(1,), y_shape=(1,), churn=churn,
                                resample_tau=0.5, resample_t_min=0.1,
-                               resample_t_max=0.9)
+                               resample_t_max=0.9, resample_group=0)
         sampler = jax.jit(make_smc_sampler(v_fn, v_fn, cfg, log_ratio),
                           static_argnums=(1,))
         x1, y1, diags = sampler(jax.random.PRNGKey(seed), 512)
@@ -258,9 +262,11 @@ def test_smc_sharded_particles_matches_single_device():
     def log_ratio(x, y):
         return 8.0 * jnp.tanh(x[:, 0] * y[:, 0] / 2.0)
 
+    # global selection (group=0): the softmax/ESS span the WHOLE sharded
+    # population — the heaviest cross-shard collective path
     cfg = SMCSamplerConfig(guidance_strength=1.0, num_steps=16,
                            x_shape=(1,), y_shape=(1,), churn=1.0,
-                           resample_tau=0.7)
+                           resample_tau=0.7, resample_group=0)
     sampler = make_smc_sampler(v_fn, v_fn, cfg, log_ratio)
     b = 64
     key = jax.random.PRNGKey(5)
@@ -280,6 +286,20 @@ def test_smc_sharded_particles_matches_single_device():
     np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
+
+    # island-16 (the default): groups of 16 straddle the 8-shard split of
+    # B=64 (8 particles per shard), so per-group softmax/ESS/gather still
+    # cross shard boundaries — must also match the unsharded run
+    cfg_i = dataclasses.replace(cfg, resample_group=16)
+    sampler_i = make_smc_sampler(v_fn, v_fn, cfg_i, log_ratio)
+    xi_ref, yi_ref, _ = jax.jit(sampler_i, static_argnums=(1,))(
+        key, b, (x0, y0))
+    xi_sh, yi_sh, _ = jax.jit(sampler_i, static_argnums=(1,))(
+        key, b, (x0s, y0s))
+    np.testing.assert_allclose(np.asarray(xi_sh), np.asarray(xi_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(yi_sh), np.asarray(yi_ref),
                                rtol=1e-5, atol=1e-6)
 
 
