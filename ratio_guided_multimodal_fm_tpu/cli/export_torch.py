@@ -62,15 +62,11 @@ def main(argv=None):
         load_checkpoint,
     )
 
-    restored = load_checkpoint(os.path.abspath(args.checkpoint))
-    if isinstance(restored, dict) and "params" in restored:
-        variables = {"params": restored["params"]}
-        if "batch_stats" in restored:
-            variables["batch_stats"] = restored["batch_stats"]
-    else:                                    # bare params tree
-        variables = {"params": restored}
-
-    sd = export_state_dict(variables, args.model)
+    # export_state_dict sniffs the format itself (bare params tree,
+    # {params[, batch_stats]}, or a full train dict whose extra keys —
+    # opt_state, epoch, ... — it ignores)
+    sd = export_state_dict(load_checkpoint(os.path.abspath(args.checkpoint)),
+                           args.model)
     out = os.path.abspath(args.out)
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) if hasattr(

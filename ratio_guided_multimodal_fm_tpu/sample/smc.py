@@ -150,9 +150,6 @@ class SMCSamplerConfig:
     resample_t_max: float = 0.9
     # Stratified ("island") selection: 0 = one global population; G > 0
     # partitions the B particles into ceil(B/G) groups that resample
-    # (default 16 = the production knee, matching the CLI/serve default —
-    # the global mode is the measured diversity-collapse pathology and is
-    # kept only as the ablation)
     # INDEPENDENTLY (ESS test, systematic draw, and weight reset all
     # per-group; a non-dividing B gets phantom -inf-weight padding that
     # is never selected). Why this exists (measured, docs/results_r4/
@@ -163,7 +160,8 @@ class SMCSamplerConfig:
     # selection still favors coherent pairs, but groups never compete —
     # class diversity across groups survives by construction (the same
     # decomposition that makes the chunked-fresh-MC default work for
-    # mc_feng).
+    # mc_feng). Default 16 = the measured production knee, matching the
+    # CLI/serve default; global (0) is kept only as the ablation.
     resample_group: int = 16
     # Optional |log r̂| clip (same semantics as GuidedSamplerConfig).
     log_ratio_clip: Optional[float] = None

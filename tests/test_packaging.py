@@ -7,9 +7,12 @@ from __future__ import annotations
 
 import importlib
 import os
-import tomllib
 
 import pytest
+
+# stdlib only from 3.11; pyproject declares >=3.10, so skip (not error)
+# at collection on the older interpreter
+tomllib = pytest.importorskip("tomllib")
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PYPROJECT = os.path.join(ROOT, "pyproject.toml")
