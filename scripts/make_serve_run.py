@@ -38,6 +38,13 @@ def main(argv=None):
     p.add_argument("--transform_type", default="rotate90")
     p.add_argument("--loss_type", default="disc")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--with_classifier", action="store_true",
+                   help="also write the eval classifier checkpoint(s) so "
+                        "cli.evaluate/evaluate_mnist_svhn run against the "
+                        "dir (random-init: plumbing tests, not quality)")
+    p.add_argument("--with_ema", action="store_true",
+                   help="also write flow_*_ema_best siblings (copies of "
+                        "the random init) so --ema paths resolve")
     args = p.parse_args(argv)
 
     from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
@@ -65,6 +72,18 @@ def main(argv=None):
             (get_checkpoint_path("ratio", args.loss_type, args.transform_type,
                                  "best", base_dir=base), pr),
         ]
+        if args.with_ema:
+            saves += [
+                (get_checkpoint_path("flow", "x", None, "ema", "best",
+                                     base_dir=base), px),
+                (get_checkpoint_path("flow", "y", args.transform_type, "ema",
+                                     "best", base_dir=base), py),
+            ]
+        if args.with_classifier:
+            from ratio_guided_multimodal_fm_tpu.models import MNISTClassifier
+            pc = MNISTClassifier().init(jax.random.PRNGKey(args.seed + 1),
+                                        x)["params"]
+            saves.append((os.path.join(base, "mnist_classifier"), pc))
     else:
         from ratio_guided_multimodal_fm_tpu.models import (
             FlowMatchingUNetMNIST, FlowMatchingUNetSVHN,
@@ -84,6 +103,24 @@ def main(argv=None):
                                  base_dir=base),
              {"params": rv["params"], "batch_stats": rv["batch_stats"]}),
         ]
+        if args.with_ema:
+            saves += [
+                (get_checkpoint_path("flow", "mnist32", "ema", "best",
+                                     base_dir=base), pm),
+                (get_checkpoint_path("flow", "svhn", "ema", "best",
+                                     base_dir=base), ps),
+            ]
+        if args.with_classifier:
+            from ratio_guided_multimodal_fm_tpu.models import (
+                MNISTClassifier32, SVHNClassifier)
+            kc1, kc2 = jax.random.split(jax.random.PRNGKey(args.seed + 1))
+            pcm = MNISTClassifier32().init(kc1, xm)["params"]
+            cv = SVHNClassifier().init(kc2, xs)
+            saves += [
+                (os.path.join(base, "mnist32_classifier"), pcm),
+                (os.path.join(base, "svhn_classifier"),
+                 {"params": cv["params"], "batch_stats": cv["batch_stats"]}),
+            ]
 
     for path, tree in saves:
         save_checkpoint(path, tree)
