@@ -77,6 +77,14 @@ def main(argv=None):
     parser.add_argument("--ess_floor", type=float, default=None,
                         help="Adaptive guidance: per-trajectory gamma_eff = "
                              "gamma*min(1, ESS/ess_floor)")
+    parser.add_argument("--mc_refresh", type=int, default=1,
+                        help="Fresh MC candidate sets per trajectory "
+                             "(mc_feng only): K>1 regenerates the N_mc set "
+                             "every num_steps/K ODE steps INSIDE the fused "
+                             "sampler — candidate diversity along time. "
+                             "With K>1 the default chunk policy drops to 1 "
+                             "chunk (refresh subsumes per-chunk fresh sets)."
+                             " 1 = reference protocol.")
     parser.add_argument("--eval_chunks", type=str, default="auto",
                         help="'auto' (default): chunked sampling with a "
                              "FRESH MC set per chunk — candidates-per-"
@@ -176,7 +184,8 @@ def main(argv=None):
             # the per-chunk fresh sets (default policy: fresh set per
             # chunk, eval/chunked.py).
             make_mc = None
-            if method in ("mc_feng", "mc_feng+grad"):
+            if (method in ("mc_feng", "mc_feng+grad")
+                    and args.mc_refresh <= 1):
                 def make_mc(k, _lr=log_ratio):
                     return generate_mc_set(
                         fm_x, fm_y, _lr, k,
@@ -213,7 +222,8 @@ def main(argv=None):
                     grad_strength=args.grad_strength,
                     grad_scale=args.grad_scale, grad_t_max=args.grad_t_max,
                     solver=args.solver, time_grid=args.time_grid,
-                    grid_power=args.grid_power)
+                    grid_power=args.grid_power,
+                    mc_refresh=args.mc_refresh)
                 sampler = jax.jit(
                     make_guided_sampler(fm_x, fm_y, cfg, log_ratio,
                                         fm_pair_fn=fm_pair),
@@ -248,6 +258,9 @@ def main(argv=None):
                       "ess_trajectory_min", "ess_trajectory_mean"):
                 if k in chunk_info:
                     result[k] = chunk_info[k]
+            if args.mc_refresh > 1 and method in ("mc_feng",
+                                                  "mc_feng+grad"):
+                result["mc_refresh"] = args.mc_refresh
             if method == "smc":
                 result["smc_final_ess"] = float(
                     np.mean(merged_diags["final_ess"]))

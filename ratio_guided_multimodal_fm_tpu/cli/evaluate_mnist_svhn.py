@@ -77,6 +77,12 @@ def main(argv=None):
     parser.add_argument("--ess_floor", type=float, default=None,
                         help="Adaptive guidance: per-trajectory gamma_eff = "
                              "gamma*min(1, ESS/ess_floor)")
+    parser.add_argument("--mc_refresh", type=int, default=1,
+                        help="Fresh MC candidate sets per trajectory "
+                             "(mc_feng only): K>1 regenerates the N_mc set "
+                             "every num_steps/K ODE steps inside the fused "
+                             "sampler (see cli/evaluate.py). 1 = reference "
+                             "protocol.")
     parser.add_argument("--eval_chunks", type=str, default="auto",
                         help="'auto' (default): chunked sampling with a "
                              "fresh MC set per chunk (see cli/evaluate.py);"
@@ -153,7 +159,8 @@ def main(argv=None):
             # reused across the gamma sweep; default policy = fresh set
             # per chunk (see cli/evaluate.py and eval/chunked.py).
             make_mc = None
-            if method in ("mc_feng", "mc_feng+grad"):
+            if (method in ("mc_feng", "mc_feng+grad")
+                    and args.mc_refresh <= 1):
                 def make_mc(k, _lr=log_ratio):
                     return generate_mc_set(
                         v_m, v_s, _lr, k,
@@ -188,7 +195,8 @@ def main(argv=None):
                     grad_strength=args.grad_strength,
                     grad_scale=args.grad_scale, grad_t_max=args.grad_t_max,
                     solver=args.solver, time_grid=args.time_grid,
-                    grid_power=args.grid_power)
+                    grid_power=args.grid_power,
+                    mc_refresh=args.mc_refresh)
                 sampler = jax.jit(
                     make_guided_sampler(
                         v_m, v_s, cfg,
@@ -226,6 +234,9 @@ def main(argv=None):
                       "ess_trajectory_min", "ess_trajectory_mean"):
                 if k in chunk_info:
                     result[k] = chunk_info[k]
+            if args.mc_refresh > 1 and method in ("mc_feng",
+                                                  "mc_feng+grad"):
+                result["mc_refresh"] = args.mc_refresh
             if method == "smc":
                 result["smc_final_ess"] = float(
                     np.mean(merged_diags["final_ess"]))

@@ -52,6 +52,11 @@ def main(argv=None):
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples (guards against "
                              "saturated-discriminator weight collapse)")
+    parser.add_argument("--mc_refresh", type=int, default=1,
+                        help="Fresh MC candidate sets per trajectory "
+                             "(mc_feng only): K>1 regenerates the N_mc set "
+                             "every num_steps/K ODE steps inside the fused "
+                             "sampler. 1 = reference protocol.")
     parser.add_argument("--ess_floor", type=float, default=None,
                         help="Adaptive guidance: per-trajectory gamma_eff = "
                              "gamma*min(1, ESS/ess_floor); mitigates "
@@ -141,7 +146,7 @@ def main(argv=None):
             x_shape=(28, 28, 1), y_shape=(28, 28, 1), key=key,
             log_ratio_clip=args.ratio_clip, ess_floor=args.ess_floor,
             solver=args.solver, time_grid=args.time_grid,
-            grid_power=args.grid_power,
+            grid_power=args.grid_power, mc_refresh=args.mc_refresh,
             return_diagnostics=True)
 
     os.makedirs("outputs", exist_ok=True)

@@ -260,6 +260,22 @@ class GuidedSamplerConfig:
     time_grid: str = "uniform"
     # Warp exponent for 'late'/'early' grids (g(s)=1-(1-s)^p / s^p).
     grid_power: float = 2.0
+    # Number of FRESH MC candidate sets drawn along each trajectory
+    # (mc_feng/mc_feng+grad only). 1 = reference protocol: one set for the
+    # whole ODE (flow_utils.py:231-258 generates once per call). K>1 splits
+    # the main loop into K equal segments and regenerates the N_mc set
+    # (phase A + ratio eval) at each boundary. Rationale: the importance-
+    # sampling estimate behind the guidance term is unbiased for ANY iid
+    # candidate set — the reference's single shared set is an efficiency
+    # choice, and its finite-set bias is what locks each trajectory onto
+    # one argmax candidate from t≈0 (trajectory ESS pins at 1, round-2/3
+    # studies). Refreshing re-ranks against new candidates mid-flight:
+    # at later t the Gaussian p_t(x_t|x1) window has narrowed, so the new
+    # set's weights concentrate on candidates NEAR the current trajectory
+    # — candidate diversity along time instead of across a bigger set.
+    # Cost: K× phase A. Requires num_steps % K == 0; incompatible with a
+    # caller-provided mc_set and with a sharded mc_axis.
+    mc_refresh: int = 1
 
 
 def _resolve_pallas(cfg: "GuidedSamplerConfig",
@@ -469,6 +485,19 @@ def make_guided_sampler_p(
             "fm_pair_apply (merged-pair evaluation) requires "
             f"x_shape == y_shape, got {cfg.x_shape} vs {cfg.y_shape} — "
             "mergeable nets share a topology (models/merged.py:can_merge)")
+    use_mc_method = guided and method in ("mc_feng", "mc_feng+grad")
+    if cfg.mc_refresh < 1:
+        raise ValueError(f"mc_refresh must be >= 1, got {cfg.mc_refresh}")
+    if cfg.mc_refresh > 1 and use_mc_method:
+        if num_steps % cfg.mc_refresh != 0:
+            raise ValueError(
+                f"mc_refresh={cfg.mc_refresh} must divide num_steps="
+                f"{num_steps} (equal refresh segments)")
+        if mc_axis is not None:
+            raise ValueError(
+                "mc_refresh > 1 is not supported with a sharded mc_axis — "
+                "use the single-set distributed sampler "
+                "(parallel/sharded_guidance.py) or mc_refresh=1")
 
     def sampler(params, key: jax.Array, num_samples: int,
                 mc_set=None, init_noise=None):
@@ -492,13 +521,12 @@ def make_guided_sampler_p(
             y_t = jax.random.normal(ky, (num_samples,) + cfg.y_shape,
                                     jnp.float32)
 
-        if (guided and method in ("mc_feng", "mc_feng+grad")
-                and mc_set is None):
+        def gen_mc(kmx_, kmy_):
             # Phase A: generate N_mc independent pairs from the two flows
             # (ref flow_utils.py:231-258) and their terminal ratios.
-            x0 = jax.random.normal(kmx, (cfg.mc_batch_size,) + cfg.x_shape,
+            x0 = jax.random.normal(kmx_, (cfg.mc_batch_size,) + cfg.x_shape,
                                    jnp.float32)
-            y0 = jax.random.normal(kmy, (cfg.mc_batch_size,) + cfg.y_shape,
+            y0 = jax.random.normal(kmy_, (cfg.mc_batch_size,) + cfg.y_shape,
                                    jnp.float32)
             if fm_pair_fn is not None:   # x_shape == y_shape guaranteed
                 mc_x1, mc_y1 = ode_scan_pair(fm_pair_fn, x0, y0,
@@ -522,7 +550,48 @@ def make_guided_sampler_p(
             if cfg.log_ratio_clip is not None:
                 log_r = jnp.clip(log_r, -cfg.log_ratio_clip,
                                  cfg.log_ratio_clip)
-            mc_set = (mc_x1, mc_y1, safe_exp_log_r(log_r))
+            return (mc_x1, mc_y1, safe_exp_log_r(log_r))
+
+        use_mc_method = guided and method in ("mc_feng", "mc_feng+grad")
+
+        if use_mc_method and cfg.mc_refresh > 1:
+            # Refresh mode: K fresh candidate sets along the trajectory —
+            # an outer scan over K equal segments, each regenerating the
+            # MC set (phase A) then running num_steps/K guided steps. The
+            # inner step builder is traced inside the segment body, so the
+            # whole thing is still ONE fused XLA program (scan of scans).
+            if mc_set is not None:
+                raise ValueError(
+                    "mc_refresh > 1 regenerates the MC set internally — "
+                    "a caller-provided mc_set is contradictory (pass "
+                    "mc_set=None, or use mc_refresh=1 to amortize one set)")
+            K = cfg.mc_refresh
+            seg = num_steps // K   # divisibility checked at build time
+            ts, dts = make_time_grid(num_steps, cfg.time_grid,
+                                     cfg.grid_power)
+            seg_ts = ts.reshape(K, seg)
+            seg_dts = dts.reshape(K, seg)
+            kmxs = jax.random.split(kmx, K)
+            kmys = jax.random.split(kmy, K)
+
+            def segment(carry, xs):
+                kmx_i, kmy_i, ts_i, dts_i = xs
+                step = _make_guided_step(fm_x_fn, fm_y_fn, cfg,
+                                         log_ratio_fn, gen_mc(kmx_i, kmy_i),
+                                         mc_axis, fm_pair_fn=fm_pair_fn)
+                carry, diags = jax.lax.scan(step, carry, (ts_i, dts_i),
+                                            unroll=cfg.scan_unroll)
+                return carry, diags
+
+            (x_t, y_t), diags = jax.lax.scan(
+                segment, (x_t, y_t), (kmxs, kmys, seg_ts, seg_dts))
+            # [K, seg, ...] per-step diagnostics → flat [num_steps, ...]
+            diags = jax.tree.map(
+                lambda a: a.reshape((num_steps,) + a.shape[2:]), diags)
+            return x_t, y_t, diags
+
+        if use_mc_method and mc_set is None:
+            mc_set = gen_mc(kmx, kmy)
 
         step = _make_guided_step(fm_x_fn, fm_y_fn, cfg, log_ratio_fn,
                                  mc_set, mc_axis, fm_pair_fn=fm_pair_fn)
@@ -634,6 +703,7 @@ def sample_bimodal_guided(
     solver: str = "euler",
     time_grid: str = "uniform",
     grid_power: float = 2.0,
+    mc_refresh: int = 1,
 ):
     """Convenience wrapper with the reference's argument surface
     (flow_utils.py:178-213). Returns (samples_x, samples_y) NHWC in [-1,1]-ish.
@@ -656,6 +726,7 @@ def sample_bimodal_guided(
         solver=solver,
         time_grid=time_grid,
         grid_power=grid_power,
+        mc_refresh=mc_refresh,
     )
     sampler = jax.jit(
         make_guided_sampler(fm_x_fn, fm_y_fn, cfg, log_ratio_fn,

@@ -66,3 +66,25 @@ def test_make_serve_run_exp2_classifier_checkpoints(tmp_path):
     )
     tree = load_checkpoint(str(base / "svhn_classifier"))
     assert "params" in tree and "batch_stats" in tree
+
+
+def test_evaluate_mc_refresh_plumbing(tmp_path, monkeypatch):
+    """--mc_refresh 2 through the evaluate CLI: the sampler regenerates
+    its MC set internally, so the chunk policy collapses to one chunk and
+    the result row records the knob."""
+    _make_serve_run().main(["--run_dir", str(tmp_path),
+                            "--with_classifier"])
+    monkeypatch.chdir(tmp_path)
+    from ratio_guided_multimodal_fm_tpu.cli import evaluate
+
+    evaluate.main(["--guidance_methods", "mc_feng",
+                   "--guidance_strengths", "1.0",
+                   "--num_samples", "8", "--num_steps", "4",
+                   "--mc_batch_size", "8", "--mc_refresh", "2"])
+
+    with open("outputs/evaluation_results.json") as f:
+        rows = json.load(f)
+    (row,) = [r for r in rows if r["method"] == "mc_feng"]
+    assert row["mc_refresh"] == 2
+    assert row["n_chunks"] == 1  # refresh subsumes per-chunk fresh sets
+    assert 0.0 <= row["coherence_acc"] <= 1.0
