@@ -139,8 +139,13 @@ def smc_config_from_args(args, strength: float, x_shape, y_shape):
 
 
 def add_ema_flag(p: argparse.ArgumentParser):
-    """--ema for every sampler-facing CLI: load the Polyak-averaged flow
-    weights written by training with --ema_decay (flow_*_ema_best)."""
+    """--ema / --ratio_ema for every sampler-facing CLI: load the
+    Polyak-averaged flow weights (flow_*_ema_best) and/or ratio weights
+    (ratio_*_ema_best) written by training with --ema_decay. The two are
+    orthogonal — --ema selects the FLOW nets, --ratio_ema the ratio net."""
+    p.add_argument("--ratio_ema", action="store_true",
+                   help="load EMA ratio-estimator weights "
+                        "(ratio_*_ema_best; train with --ema_decay)")
     p.add_argument("--ema", action="store_true",
                    help="load the EMA (Polyak-averaged) flow checkpoints "
                         "(flow_*_ema_best; train with --ema_decay)")

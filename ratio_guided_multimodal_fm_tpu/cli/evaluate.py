@@ -169,8 +169,10 @@ def main(argv=None):
                 r_init = ratio.init(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 28, 28, 1)),
                                     jnp.zeros((1, 28, 28, 1)))
+                rem = "ema" if getattr(args, "ratio_ema", False) else None
                 path_r = get_checkpoint_path("ratio", args.loss_type,
-                                             args.transform_type, "best")
+                                             args.transform_type, rem,
+                                             "best")
                 try:
                     r_params = load_params_or_exit(path_r, r_init["params"],
                                                    "Ratio estimator", "")

@@ -132,7 +132,7 @@ def main(argv=None):
     need_ratio = any(m != "none" for m in args.guidance_methods)
     fm_m, params_m, fm_s, params_s, log_ratio = load_mnist_svhn_models(
         args.loss_type, need_ratio, dtype=dtype_of(args),
-        reflow=args.reflow, ema=args.ema)
+        reflow=args.reflow, ema=args.ema, ratio_ema=args.ratio_ema)
 
     real_m = real_s = None
     if args.fid:

@@ -101,8 +101,9 @@ def main(argv=None):
         r_init = ratio.init(jax.random.PRNGKey(0),
                             jax.numpy.zeros((1, 28, 28, 1)),
                             jax.numpy.zeros((1, 28, 28, 1)))
+        rem = "ema" if getattr(args, "ratio_ema", False) else None
         path_r = get_checkpoint_path("ratio", args.loss_type,
-                                     args.transform_type, "best")
+                                     args.transform_type, rem, "best")
         r_params = load_params_or_exit(
             path_r, r_init["params"], "Ratio estimator",
             f"Please train it first: python -m "

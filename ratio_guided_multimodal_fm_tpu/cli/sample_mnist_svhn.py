@@ -33,13 +33,15 @@ from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
 
 
 def load_mnist_svhn_models(loss_type: str, need_ratio: bool, dtype=None,
-                           reflow: bool = False, ema: bool = False):
+                           reflow: bool = False, ema: bool = False,
+                           ratio_ema: bool = False):
     """Load FM_mnist32 + FM_svhn (+ ratio) from reference-named checkpoints.
 
     reflow=True loads the reflow-distilled flows (cli/reflow.py) for
-    few-step sampling; ema=True loads the Polyak-averaged weights
-    (flow_*_ema_best, trained with --ema_decay); the ratio estimator is
-    shared (it only ever sees terminal-time samples)."""
+    few-step sampling; ema=True loads the Polyak-averaged flow weights
+    (flow_*_ema_best, trained with --ema_decay); ratio_ema=True loads the
+    Polyak-averaged ratio weights (ratio_*_ema_best); the ratio estimator
+    is shared (it only ever sees terminal-time samples)."""
     import jax.numpy as jnp
 
     kw = {"dtype": dtype} if dtype is not None else {}
@@ -68,7 +70,8 @@ def load_mnist_svhn_models(loss_type: str, need_ratio: bool, dtype=None,
     ratio = log_ratio = None
     if need_ratio:
         ratio = RatioEstimatorMNISTSVHN(loss_type=loss_type, **kw)
-        path_r = f"checkpoints/ratio_{loss_type}_mnist_svhn_best"
+        rem = "_ema" if ratio_ema else ""
+        path_r = f"checkpoints/ratio_{loss_type}_mnist_svhn{rem}_best"
         if not checkpoint_exists(path_r):
             raise SystemExit(
                 f"ERROR: Ratio estimator checkpoint not found: {path_r}\n"
@@ -123,7 +126,7 @@ def main(argv=None):
     from ratio_guided_multimodal_fm_tpu.cli.common import dtype_of
     fm_m, params_m, fm_s, params_s, log_ratio = load_mnist_svhn_models(
         args.loss_type, args.guidance_method != "none", dtype=dtype_of(args),
-        reflow=args.reflow, ema=args.ema)
+        reflow=args.reflow, ema=args.ema, ratio_ema=args.ratio_ema)
 
     print(f"\nSampling {args.num_samples} pairs "
           f"(method={args.guidance_method}, gamma={args.guidance_strength})")

@@ -393,7 +393,7 @@ def main(argv=None):
 
         fm_m, pm, fm_s, ps, log_ratio = load_mnist_svhn_models(
             args.loss_type, True, dtype=dtype_of(args), reflow=args.reflow,
-            ema=args.ema)
+            ema=args.ema, ratio_ema=args.ratio_ema)
         service = SamplerService(
             velocity_fn(fm_m, pm), velocity_fn(fm_s, ps), log_ratio,
             (32, 32, 1), (32, 32, 3), args.batch_size, args.num_steps,
@@ -422,9 +422,10 @@ def main(argv=None):
         ratio = RatioEstimatorMNIST(loss_type=args.loss_type)
         r_init = ratio.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1)),
                             jnp.zeros((1, 28, 28, 1)))
+        rem = "ema" if getattr(args, "ratio_ema", False) else None
         pr = load_params_or_exit(
             get_checkpoint_path("ratio", args.loss_type, args.transform_type,
-                                "best"),
+                                rem, "best"),
             r_init["params"], "ratio", "train it first")
         from ratio_guided_multimodal_fm_tpu.cli.common import (
             maybe_merged_pair_fn)

@@ -48,6 +48,12 @@ def main(argv=None):
     parser.add_argument("--real_fake_ratio", type=float, default=0.5)
     parser.add_argument("--rulsif_alpha", type=float, default=0.2)
     parser.add_argument("--lambda_penalty", type=float, default=0.1)
+    parser.add_argument("--ema_decay", type=float, default=None,
+                        help="Maintain a Polyak (EMA) average of the ratio "
+                             "params; every best save writes a "
+                             "ratio_*_ema_best sibling loadable with "
+                             "--ratio_ema (saturation hedge — the EMA lags "
+                             "the discriminator's late-epoch saturation)")
     parser.add_argument("--preempt_path", type=str, default=None,
                         help="Preemption-safe training: on SIGTERM, save a "
                              "step-granular resumable checkpoint here and "
@@ -70,10 +76,12 @@ def main(argv=None):
 
     model = RatioEstimatorMNIST(loss_type=args.loss_type)
     state = create_ratio_state(model, jax.random.PRNGKey(args.seed),
-                               (28, 28, 1), (28, 28, 1), lr=args.lr)
+                               (28, 28, 1), (28, 28, 1), lr=args.lr,
+                               ema_decay=args.ema_decay)
     print(f"Model parameters: {count_params(state.params):,}")
 
     step = make_ratio_train_step(model, args.loss_type,
+                                 ema_decay=args.ema_decay,
                                  alpha=args.rulsif_alpha,
                                  lambda_penalty=args.lambda_penalty)
     rng = RNG(args.seed + 1)
@@ -89,6 +97,12 @@ def main(argv=None):
                                    args.transform_type, "best")
         save_checkpoint(path, s.params, async_save=True)
         print(f"  -> Saved best model: {path}")
+        if getattr(s, "ema_params", None) is not None:
+            from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
+                ema_checkpoint_path)
+            save_checkpoint(ema_checkpoint_path(path), s.ema_params,
+                            async_save=True)
+            print(f"  -> Saved EMA model: {ema_checkpoint_path(path)}")
 
     def save_periodic(s, epoch, best):
         save_checkpoint(get_checkpoint_path(

@@ -48,6 +48,12 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=128)
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--real_fake_ratio", type=float, default=0.5)
+    parser.add_argument("--ema_decay", type=float, default=None,
+                        help="Maintain a Polyak (EMA) average of the ratio "
+                             "params; every best save writes a "
+                             "ratio_*_ema_best sibling (EMA params + the "
+                             "current BatchNorm stats) loadable with "
+                             "--ratio_ema")
     parser.add_argument("--preempt_path", type=str, default=None,
                         help="Preemption-safe training: on SIGTERM, save a "
                              "step-granular resumable checkpoint here and "
@@ -67,10 +73,12 @@ def main(argv=None):
     model = RatioEstimatorMNISTSVHN(loss_type=args.loss_type)
     state = create_ratio_state(model, jax.random.PRNGKey(args.seed),
                                (32, 32, 1), (32, 32, 3), lr=args.lr,
-                               has_batch_stats=True)
+                               has_batch_stats=True,
+                               ema_decay=args.ema_decay)
     print(f"Model parameters: {count_params(state.params):,}")
 
-    step = make_ratio_train_step(model, args.loss_type, has_batch_stats=True)
+    step = make_ratio_train_step(model, args.loss_type, has_batch_stats=True,
+                                 ema_decay=args.ema_decay)
     rng = RNG(args.seed + 1)
 
     state, resume = restore_preempt(args.preempt_path, state)
@@ -85,6 +93,16 @@ def main(argv=None):
                                "batch_stats": s.batch_stats},
                         async_save=True)
         print(f"  -> Saved best model: {path}")
+        if getattr(s, "ema_params", None) is not None:
+            from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
+                ema_checkpoint_path)
+            # EMA params pair with the CURRENT BatchNorm stats — the
+            # running averages are already an EMA of activation moments.
+            save_checkpoint(ema_checkpoint_path(path),
+                            {"params": s.ema_params,
+                             "batch_stats": s.batch_stats},
+                            async_save=True)
+            print(f"  -> Saved EMA model: {ema_checkpoint_path(path)}")
 
     def save_periodic(s, epoch, best):
         save_checkpoint(

@@ -34,6 +34,18 @@ def checkpoint_exists(path: str) -> bool:
     return os.path.isdir(path) and bool(os.listdir(path))
 
 
+def ema_checkpoint_path(path: str) -> str:
+    """Sibling name for the Polyak-averaged weights of a best checkpoint:
+    insert `_ema` before the final name part of the BASENAME only
+    ('my_runs/flow_x_best' -> 'my_runs/flow_x_ema_best', never touching
+    the directory). Shared by the FM epoch driver and the ratio CLIs so
+    train-side writes and --ema/--ratio_ema loads agree on the name."""
+    d, base = os.path.split(path)
+    head, _, tail = base.rpartition("_")
+    new = f"{head}_ema_{tail}" if head else f"{base}_ema"
+    return os.path.join(d, new) if d else new
+
+
 def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 

@@ -345,13 +345,9 @@ def train_flow_matching_epochs(
     `_ema` suffix on the final name part (flow_x_best → flow_x_ema_best) —
     the sample/evaluate CLIs load it with --ema.
     """
-    def _ema_path(path: str) -> str:
-        # Insert the suffix into the BASENAME only ('my_runs/best' ->
-        # 'my_runs/ema_best', not 'my_ema_runs/best').
-        d, base = os.path.split(path)
-        head, _, tail = base.rpartition("_")
-        new = f"{head}_ema_{tail}" if head else f"{base}_ema"
-        return os.path.join(d, new) if d else new
+    from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
+        ema_checkpoint_path as _ema_path,
+    )
 
     def save_best(s, epoch, best):
         if best_path:

@@ -34,6 +34,13 @@ class FMTrainState(train_state.TrainState):
 
 class RatioTrainState(train_state.TrainState):
     batch_stats: Any = None
+    # Optional EMA of params — same rationale as FMTrainState.ema_params.
+    # For the ratio net specifically, the Polyak average is a saturation
+    # hedge: the discriminator trained to the reference's 30-epoch budget
+    # saturates (ROUND2.md §1) and its class-level r̂ bias drives both
+    # guidance families' diversity collapse; the averaged weights lag the
+    # saturation. None = disabled (reference parity).
+    ema_params: Any = None
 
 
 def make_fm_train_step(model, *, donate: bool = True,
@@ -74,9 +81,15 @@ def make_ratio_train_step(
     loss_type: str = "disc",
     has_batch_stats: bool = False,
     donate: bool = True,
+    ema_decay: float | None = None,
     **loss_kwargs,
 ) -> Callable:
-    """Build step(state, x, y, is_real, key) -> (state, metrics)."""
+    """Build step(state, x, y, is_real, key) -> (state, metrics).
+
+    `ema_decay` (with create_ratio_state(ema_decay=...)) maintains the
+    Polyak average of the ratio params inside the jitted step, mirroring
+    the FM step's EMA.
+    """
     loss_fn_inner = get_ratio_loss(loss_type, **loss_kwargs)
 
     def step(state: RatioTrainState, x, y, is_real, key):
@@ -102,6 +115,11 @@ def make_ratio_train_step(
         state = state.apply_gradients(grads=grads)
         if has_batch_stats:
             state = state.replace(batch_stats=new_stats)
+        if ema_decay is not None:
+            d = jnp.float32(ema_decay)
+            state = state.replace(ema_params=jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                state.ema_params, state.params))
         return state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -178,15 +196,21 @@ def create_fm_state(model, key, sample_shape, lr: float = 1e-4,
 
 def create_ratio_state(model, key, x_shape, y_shape, lr: float = 1e-4,
                        clip_norm: float = 1.0,
-                       has_batch_stats: bool = False) -> RatioTrainState:
-    """Init params + clip(1.0)+Adam (ref trainer.py:53 grad clip)."""
+                       has_batch_stats: bool = False,
+                       ema_decay: float | None = None) -> RatioTrainState:
+    """Init params + clip(1.0)+Adam (ref trainer.py:53 grad clip).
+    `ema_decay` non-None seeds ema_params = copy(params) (updated by the
+    step built with the same ema_decay; a COPY for donation safety, same
+    as create_fm_state)."""
     x = jnp.zeros((1,) + tuple(x_shape), jnp.float32)
     y = jnp.zeros((1,) + tuple(y_shape), jnp.float32)
     variables = model.init(key, x, y)
     tx = optax.chain(optax.clip_by_global_norm(clip_norm), optax.adam(lr))
+    ema = (jax.tree_util.tree_map(jnp.copy, variables["params"])
+           if ema_decay is not None else None)
     return RatioTrainState.create(
         apply_fn=model.apply, params=variables["params"], tx=tx,
-        batch_stats=variables.get("batch_stats"))
+        batch_stats=variables.get("batch_stats"), ema_params=ema)
 
 
 def create_classifier_state(model, key, sample_shape, lr: float = 1e-3):

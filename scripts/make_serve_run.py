@@ -43,8 +43,9 @@ def main(argv=None):
                         "cli.evaluate/evaluate_mnist_svhn run against the "
                         "dir (random-init: plumbing tests, not quality)")
     p.add_argument("--with_ema", action="store_true",
-                   help="also write flow_*_ema_best siblings (copies of "
-                        "the random init) so --ema paths resolve")
+                   help="also write flow_*_ema_best AND ratio_*_ema_best "
+                        "siblings (copies of the random init) so the "
+                        "--ema / --ratio_ema paths resolve")
     args = p.parse_args(argv)
 
     from ratio_guided_multimodal_fm_tpu.train.checkpoint import (
@@ -78,6 +79,9 @@ def main(argv=None):
                                      base_dir=base), px),
                 (get_checkpoint_path("flow", "y", args.transform_type, "ema",
                                      "best", base_dir=base), py),
+                (get_checkpoint_path("ratio", args.loss_type,
+                                     args.transform_type, "ema", "best",
+                                     base_dir=base), pr),
             ]
         if args.with_classifier:
             from ratio_guided_multimodal_fm_tpu.models import MNISTClassifier
@@ -109,6 +113,9 @@ def main(argv=None):
                                      base_dir=base), pm),
                 (get_checkpoint_path("flow", "svhn", "ema", "best",
                                      base_dir=base), ps),
+                (get_checkpoint_path("ratio", args.loss_type, "mnist_svhn",
+                                     "ema", "best", base_dir=base),
+                 {"params": rv["params"], "batch_stats": rv["batch_stats"]}),
             ]
         if args.with_classifier:
             from ratio_guided_multimodal_fm_tpu.models import (

@@ -80,6 +80,52 @@ def test_epoch_driver_saves_ema_sibling(tmp_path):
                  jax.tree_util.tree_leaves(final_state.params))]
     assert max(diffs) > 0
 
+def _ratio_model():
+    from ratio_guided_multimodal_fm_tpu.models import FlexibleRatioEstimator
+    return FlexibleRatioEstimator(x_channels=1, y_channels=1,
+                                  feature_dim=16, hidden_dim=16)
+
+
+def test_ratio_ema_update_is_polyak_average():
+    """RatioTrainState EMA mirrors the FM one: e' = d·e + (1-d)·p after
+    the optimizer step (the saturation hedge — cli/train_ratio.py)."""
+    from ratio_guided_multimodal_fm_tpu.train.steps import (
+        create_ratio_state,
+        make_ratio_train_step,
+    )
+    model = _ratio_model()
+    d = 0.75
+    state = create_ratio_state(model, jax.random.PRNGKey(0), (H, H, 1),
+                               (H, H, 1), lr=1e-2, ema_decay=d)
+    ema0 = jax.tree_util.tree_map(np.asarray, state.ema_params)
+    step = make_ratio_train_step(model, "disc", donate=False, ema_decay=d)
+    x = jnp.ones((4, H, H, 1))
+    y = jnp.zeros((4, H, H, 1))
+    is_real = jnp.array([1, 0, 1, 0], jnp.int32)
+    state, _ = step(state, x, y, is_real, jax.random.PRNGKey(1))
+    want = jax.tree_util.tree_map(
+        lambda e, p: d * e + (1 - d) * np.asarray(p), ema0, state.params)
+    got = jax.tree_util.tree_map(np.asarray, state.ema_params)
+    for w, g in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(g, w, rtol=1e-6, atol=1e-7)
+
+
+def test_ratio_ema_disabled_by_default():
+    from ratio_guided_multimodal_fm_tpu.train.steps import (
+        create_ratio_state,
+        make_ratio_train_step,
+    )
+    model = _ratio_model()
+    state = create_ratio_state(model, jax.random.PRNGKey(0), (H, H, 1),
+                               (H, H, 1))
+    assert state.ema_params is None
+    step = make_ratio_train_step(model, "disc", donate=False)
+    state, _ = step(state, jnp.ones((4, H, H, 1)), jnp.zeros((4, H, H, 1)),
+                    jnp.array([1, 0, 1, 0], jnp.int32), jax.random.PRNGKey(1))
+    assert state.ema_params is None   # reference-parity path untouched
+
+
 def test_ema_sibling_path_handles_underscored_dirs(tmp_path):
     """Regression: _ema_path must suffix the BASENAME, not the last '_'
     of the whole path — best_path='my_runs/best' goes to

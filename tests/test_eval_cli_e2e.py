@@ -68,6 +68,29 @@ def test_make_serve_run_exp2_classifier_checkpoints(tmp_path):
     assert "params" in tree and "batch_stats" in tree
 
 
+def test_evaluate_ratio_ema_plumbing(tmp_path, monkeypatch):
+    """--ratio_ema resolves the ratio_*_ema_best sibling (written by
+    train_ratio* --ema_decay; here by the make_serve_run helper) through
+    the evaluate CLI's guidance path."""
+    _make_serve_run().main(["--run_dir", str(tmp_path),
+                            "--with_classifier", "--with_ema"])
+    assert os.path.isdir(tmp_path / "checkpoints"
+                         / "ratio_disc_rotate90_ema_best")
+
+    monkeypatch.chdir(tmp_path)
+    from ratio_guided_multimodal_fm_tpu.cli import evaluate
+
+    evaluate.main(["--ratio_ema", "--guidance_methods", "mc_feng",
+                   "--guidance_strengths", "1.0",
+                   "--num_samples", "8", "--num_steps", "4",
+                   "--mc_batch_size", "8"])
+
+    with open("outputs/evaluation_results.json") as f:
+        rows = json.load(f)
+    (row,) = [r for r in rows if r["method"] == "mc_feng"]
+    assert 0.0 <= row["coherence_acc"] <= 1.0
+
+
 def test_evaluate_mc_refresh_plumbing(tmp_path, monkeypatch):
     """--mc_refresh 2 through the evaluate CLI: the sampler regenerates
     its MC set internally, so the chunk policy collapses to one chunk and
