@@ -54,7 +54,7 @@ stage() {  # stage <name> <workdir> <cmd...>
   sleep 150
 }
 
-if [ ! -d "$WD1/checkpoints/flow_x_best" ] && [ ! -d "$WD1/checkpoints/flow_x_best" ]; then
+if [ ! -d "$WD1/checkpoints/flow_x_best" ] || [ ! -d "$WD1/checkpoints/flow_y_rotate90_best" ]; then
   echo "exp1_full stack missing — run tpu_queue_r4_session5.sh first"; exit 1
 fi
 

@@ -32,3 +32,33 @@ stage() {
     || { echo "stage $name FAILED"; exit 1; }
   sleep 150
 }
+
+# wait_queue <pidfile...> — block until prior queue processes exit, then
+# sleep out the ~60-120s lazy chip release (CLAUDE.md) before claiming.
+wait_queue() {
+  local pf prev
+  for pf in "$@"; do
+    if [ -f "$pf" ]; then
+      prev=$(cat "$pf")
+      while kill -0 "$prev" 2>/dev/null; do
+        echo "waiting on $pf (pid $prev)"; sleep 60
+      done
+    fi
+  done
+  sleep 150
+}
+
+# track_results <msg> <paths...> — git add + commit study artifacts at the
+# end of a queue script so no study lands untracked (round-4 verdict
+# hygiene item: results must land WITH the session that produced them).
+track_results() {
+  local msg=$1; shift
+  local repo
+  repo=$(cd "$_TPU_LIB_DIR/.." && pwd)
+  git -C "$repo" add -f "$@" || true
+  if git -C "$repo" commit -m "$msg" >/dev/null 2>&1; then
+    echo "committed: $msg"
+  else
+    echo "nothing new to commit for: $msg"
+  fi
+}
