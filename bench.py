@@ -270,6 +270,46 @@ def run_tpu_bench() -> dict:
     rate = details["train_steps_per_sec"]["fm_svhn_B128"]
     details["train_fm_mfu_pct"] = round(
         100.0 * 3.0 * svhn_unet_flops(128) * rate / PEAK_FLOPS_BF16, 2)
+
+    # Fused K-step dispatch (train/steps.py:make_fm_train_multistep):
+    # K optimizer steps per XLA program over a device-resident dataset.
+    # The rate-vs-K curve IS the dispatch-floor quantification the r4
+    # verdict asked for: the K=1 -> K=big gap is pure per-dispatch
+    # latency (tunnel RTT + host overhead); the saturated rate is the
+    # compute+input floor. Steps/s here counts OPTIMIZER steps (K x
+    # macro dispatches) at identical per-step math.
+    from ratio_guided_multimodal_fm_tpu.train.steps import (
+        make_fm_train_multistep,
+    )
+
+    ds_train = jax.random.normal(kb, (4096, 32, 32, 3), jnp.float32)
+    fused_rates = {}
+    for K in (4, 16, 32):
+        fstep = make_fm_train_multistep(fm_s)
+        fstate = create_fm_state(fm_s, jax.random.PRNGKey(12), (32, 32, 3),
+                                 lr=1e-4)
+        def _idx(i, _k=K):
+            return jax.random.randint(jax.random.PRNGKey(1000 + 37 * i + _k),
+                                      (_k, 128), 0, 4096, jnp.int32)
+
+        macro_reps = max(1, 64 // K)
+        st = fstate
+        for w in range(2):   # compile + warm
+            st, loss = fstep(st, ds_train, _idx(w), jax.random.PRNGKey(w))
+            _sync((loss[None],))
+        t0 = time.perf_counter()
+        for i in range(macro_reps):
+            st, loss = fstep(st, ds_train, _idx(2 + i),
+                             jax.random.PRNGKey(2 + i))
+        _sync((loss[None],))
+        fused_rates[f"K={K}"] = round(
+            K * macro_reps / (time.perf_counter() - t0), 1)
+    details["train_steps_per_sec"]["fm_svhn_B128_fused"] = fused_rates
+    best_fused = max(fused_rates.values())
+    details["train_fm_mfu_fused_pct"] = round(
+        100.0 * 3.0 * svhn_unet_flops(128) * best_fused / PEAK_FLOPS_BF16, 2)
+    details["train_dispatch_floor_ms"] = round(
+        1e3 * (1.0 / rate - 1.0 / best_fused), 2) if best_fused > rate else 0.0
     ratio_state = create_ratio_state(ratio, jax.random.PRNGKey(13),
                                      (32, 32, 1), (32, 32, 3), lr=1e-4,
                                      has_batch_stats=True)

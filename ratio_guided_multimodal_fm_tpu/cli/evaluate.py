@@ -78,13 +78,15 @@ def main(argv=None):
                         help="Adaptive guidance: per-trajectory gamma_eff = "
                              "gamma*min(1, ESS/ess_floor)")
     parser.add_argument("--mc_refresh", type=int, default=1,
-                        help="Fresh MC candidate sets per trajectory "
-                             "(mc_feng only): K>1 regenerates the N_mc set "
-                             "every num_steps/K ODE steps INSIDE the fused "
-                             "sampler — candidate diversity along time. "
-                             "With K>1 the default chunk policy drops to 1 "
-                             "chunk (refresh subsumes per-chunk fresh sets)."
-                             " 1 = reference protocol.")
+                        help="ABLATION ONLY — measured harmful. K>1 "
+                             "regenerates the N_mc set every num_steps/K "
+                             "ODE steps INSIDE the fused sampler; the "
+                             "mid-flight re-rank destroys coherence "
+                             "(0.824 -> 0.363/0.213 at K=2/4, FID 218 -> "
+                             "452/641; docs/results_r4/mc_refresh*_eval"
+                             ".json, ROUND5.md §2). With K>1 the chunk "
+                             "policy drops to 1 chunk. 1 = reference "
+                             "protocol (keep it).")
     parser.add_argument("--eval_chunks", type=str, default="auto",
                         help="'auto' (default): chunked sampling with a "
                              "FRESH MC set per chunk — candidates-per-"
@@ -235,11 +237,17 @@ def main(argv=None):
                     return _s(ck, n_i, mc_ci)
 
             print(f"  Sampling {args.num_samples} pairs...")
+            no_mc = ("mc_refresh>1: fresh candidate sets generated inside "
+                     "the fused sampler (refresh subsumes per-chunk sets)"
+                     if (args.mc_refresh > 1
+                         and method in ("mc_feng", "mc_feng+grad"))
+                     else "no MC set (method has no candidate pool)")
             samples_x, samples_y, merged_diags, chunk_info = sample_in_chunks(
                 sample_chunk, make_mc, args.num_samples, key,
                 eval_chunks=args.eval_chunks,
                 auto_chunks=args.auto_chunks,
-                mc_cache=mc_cache.setdefault(method, {}))
+                mc_cache=mc_cache.setdefault(method, {}),
+                no_mc_reason=no_mc)
             report_guidance_diagnostics(merged_diags, args.num_steps,
                                         time_grid=args.time_grid,
                                         grid_power=args.grid_power)

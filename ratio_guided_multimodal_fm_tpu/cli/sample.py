@@ -53,10 +53,14 @@ def main(argv=None):
                         help="Clip |log ratio| of MC samples (guards against "
                              "saturated-discriminator weight collapse)")
     parser.add_argument("--mc_refresh", type=int, default=1,
-                        help="Fresh MC candidate sets per trajectory "
-                             "(mc_feng only): K>1 regenerates the N_mc set "
-                             "every num_steps/K ODE steps inside the fused "
-                             "sampler. 1 = reference protocol.")
+                        help="ABLATION ONLY — measured harmful. Fresh MC "
+                             "candidate sets per trajectory (mc_feng only): "
+                             "K>1 regenerates the N_mc set every "
+                             "num_steps/K ODE steps inside the fused "
+                             "sampler. Mid-flight re-ranking destroys "
+                             "coherence (0.824 -> 0.363/0.213 at K=2/4, "
+                             "FID 218 -> 452/641; ROUND5.md §2). "
+                             "1 = reference protocol (keep it).")
     parser.add_argument("--ess_floor", type=float, default=None,
                         help="Adaptive guidance: per-trajectory gamma_eff = "
                              "gamma*min(1, ESS/ess_floor); mitigates "

@@ -106,10 +106,11 @@ def main(argv=None):
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples")
     parser.add_argument("--mc_refresh", type=int, default=1,
-                        help="Fresh MC candidate sets per trajectory "
-                             "(mc_feng only): K>1 regenerates the N_mc set "
-                             "every num_steps/K ODE steps inside the fused "
-                             "sampler. 1 = reference protocol.")
+                        help="ABLATION ONLY — measured harmful (coherence "
+                             "0.824 -> 0.363/0.213 at K=2/4 on exp-1; "
+                             "ROUND5.md §2). Fresh MC candidate sets per "
+                             "trajectory (mc_feng only). 1 = reference "
+                             "protocol (keep it).")
     parser.add_argument("--ess_floor", type=float, default=None,
                         help="Adaptive guidance: per-trajectory gamma_eff = "
                              "gamma*min(1, ESS/ess_floor)")

@@ -52,6 +52,19 @@ def main(argv=None):
                              "(e.g. 0.999); best saves also write "
                              "flow_*_ema_best, loadable with --ema on the "
                              "sample/evaluate CLIs")
+    parser.add_argument("--fused_steps", type=int, default=1,
+                        help="Run K optimizer steps per dispatch as ONE "
+                             "fused lax.scan program over the device-"
+                             "cached dataset (train/steps.py:"
+                             "make_fm_train_multistep) — amortizes the "
+                             "tunneled backend's per-dispatch latency "
+                             "(the round-4 train-MFU bottleneck). "
+                             "Single-process only. Notes: the randomness "
+                             "stream differs from a K=1 run of the same "
+                             "seed (per-sub-step fold_in), trailing "
+                             "batches that don't fill a K-chunk are "
+                             "dropped, and preemption granularity becomes "
+                             "K steps. 1 = reference protocol.")
     parser.add_argument("--metrics_dir", type=str, default=None,
                         help="Write JSONL epoch metrics here (observability)")
     parser.add_argument("--profile_dir", type=str, default=None,
@@ -71,9 +84,11 @@ def main(argv=None):
     print(f"Backend: {jax.default_backend()}")
 
     transform_for_loader = args.transform_type if args.modality == "y" else None
-    loader = wrap_loader(get_flow_dataloader(
-        transform_type=transform_for_loader, batch_size=args.batch_size,
-        train=True, root=args.data_root, seed=args.seed), args)
+    loader = None
+    if args.fused_steps <= 1:   # fused mode builds its own index loader
+        loader = wrap_loader(get_flow_dataloader(
+            transform_type=transform_for_loader, batch_size=args.batch_size,
+            train=True, root=args.data_root, seed=args.seed), args)
     print(f"Training modality: {args.modality}")
     if args.modality == "y":
         print(f"Transform type: {args.transform_type}")
@@ -104,12 +119,40 @@ def main(argv=None):
               f"step {resume['start_step']} "
               f"(best {resume['start_best']:.4f})")
 
-    # Multi-process DP (no-op single-process): replicate state over the
-    # global mesh, shard batches over 'data' (cli/common.multihost_adapt).
-    from ratio_guided_multimodal_fm_tpu.cli.common import multihost_adapt
-    state, step, extract = multihost_adapt(
-        state, step, lambda b: jnp.asarray(b[modality]))
-    data_iter = epoch_data_iter(loader, extract)
+    if args.fused_steps > 1:
+        # Fused K-step dispatch over the device-cached dataset: the loop
+        # below iterates MACRO steps (idx chunks); each train_step call
+        # runs K optimizer steps on-device. Incompatible with multi-process
+        # DP (batches there are globally sharded host arrays).
+        if jax.process_count() > 1:
+            raise SystemExit("--fused_steps > 1 is single-process only "
+                             "(multi-process DP shards host batches)")
+        from ratio_guided_multimodal_fm_tpu.data.mnist_dataset import (
+            get_flow_dataset,
+            get_index_chunk_loader,
+        )
+        from ratio_guided_multimodal_fm_tpu.train.steps import (
+            make_fm_train_multistep,
+        )
+        dataset = get_flow_dataset(transform_for_loader, train=True,
+                                   root=args.data_root)
+        loader = get_index_chunk_loader(len(dataset), args.batch_size,
+                                        args.fused_steps, seed=args.seed)
+        fused = make_fm_train_multistep(model, ema_decay=args.ema_decay)
+
+        def step(state, idx, key, _f=fused, _d=dataset):
+            return _f(state, _d, idx, key)
+
+        print(f"Fused dispatch: {args.fused_steps} steps/program, "
+              f"{len(loader)} programs/epoch (epoch logs count programs)")
+        data_iter = epoch_data_iter(loader)
+    else:
+        # Multi-process DP (no-op single-process): replicate state over the
+        # global mesh, shard batches over 'data' (cli/common.multihost_adapt).
+        from ratio_guided_multimodal_fm_tpu.cli.common import multihost_adapt
+        state, step, extract = multihost_adapt(
+            state, step, lambda b: jnp.asarray(b[modality]))
+        data_iter = epoch_data_iter(loader, extract)
     metrics_logger = None
     if args.metrics_dir:
         from ratio_guided_multimodal_fm_tpu.core.observability import MetricsLogger

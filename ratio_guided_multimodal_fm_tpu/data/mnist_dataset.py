@@ -77,6 +77,40 @@ def get_flow_dataloader(transform_type: Optional[str] = None,
     return _EpochLoader(make_iter, n_batches, seed)
 
 
+def get_flow_dataset(transform_type: Optional[str] = None,
+                     train: bool = True, root: str = "./data"):
+    """Full device-cached modality array for the FUSED K-step trainer
+    (train/steps.py:make_fm_train_multistep): the whole normalized
+    dataset goes to HBM once and sub-batches are gathered on-device from
+    index chunks, so a K-step dispatch moves only a [K,B] int32 array."""
+    imgs_u8, _ = load_mnist(root, train)
+    x = to_unit_range(imgs_u8)
+    if transform_type:
+        x = np.asarray(apply_transform(transform_type, x))
+    return maybe_device_cache(x)
+
+
+def get_index_chunk_loader(n: int, batch_size: int, fused_steps: int,
+                           train: bool = True, seed: int = 0) -> _EpochLoader:
+    """Epoch loader of int32 [K, B] index chunks for the fused trainer.
+
+    Same position-addressed epoch-order contract as the batch loaders
+    (np.random.RandomState(seed + e) permutation), so preemption resume
+    reproduces the order. Trailing batches that don't fill a K-chunk are
+    dropped (documented in the --fused_steps help); with K=1 the chunking
+    matches the plain loader's drop-last batch count exactly."""
+    k, b = int(fused_steps), int(batch_size)
+    n_chunks = n // (k * b)
+
+    def make_iter(rng):
+        order = rng.permutation(n) if train else np.arange(n)
+        for c in range(n_chunks):
+            idx = order[c * k * b:(c + 1) * k * b]
+            yield np.ascontiguousarray(idx.reshape(k, b).astype(np.int32))
+
+    return _EpochLoader(make_iter, n_chunks, seed)
+
+
 def get_ratio_dataloader(transform_type: str = "rotate90",
                          batch_size: int = 128,
                          real_fake_ratio: float = 0.5,

@@ -303,3 +303,163 @@ def generate_natural(
         os.makedirs(cache_dir, exist_ok=True)
         np.savez_compressed(path, images=imgs, labels=labels)
     return imgs, labels
+
+
+# ---------------------------------------------------------------------------
+# Real-data ingestion (round-5, VERDICT r4 missing #3): BASELINE config #5
+# names "CIFAR-10↔CelebA"; with zero egress the procedural generators above
+# are the default, but when a user drops the real files under ./data the
+# stretch config should upgrade itself — same auto-detect pattern as the
+# MNIST IDX / SVHN .mat detection in data/sources.py:_find.
+#
+# Recognized layouts:
+#   objects → CIFAR-10 python batches:  <root>/cifar-10-batches-py/
+#             data_batch_{1..5} (pickled dicts, data [10000,3072] u8
+#             row-major CHW, labels 0..9 — the canonical distribution)
+#   faces   → CelebA aligned images:    <root>/celeba/img_align_celeba/*.jpg
+#             (or <root>/img_align_celeba/) + list_attr_celeba.txt next to
+#             the image dir or under <root>/celeba/.
+#
+# CelebA's 10-way pairing class mirrors the procedural faces' latent:
+# (hair color ∈ {black, brown, blonde, red/other, gray}) × (glasses ∈
+# {no, yes}) — class = hair*2 + glasses — so a trained procedural stack
+# and a real-data stack share label semantics (data/natural.py module
+# docstring; ref mnist_svhn_dataset.py:93-99 label-aligned pairing).
+# ---------------------------------------------------------------------------
+
+def _resize_u8(img: np.ndarray, px: int) -> np.ndarray:
+    """[H,W,3] uint8 → [px,px,3] uint8 (PIL bilinear; center-crop to
+    square first so CelebA 178×218 doesn't squash)."""
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    s = min(h, w)
+    y0, x0 = (h - s) // 2, (w - s) // 2
+    img = img[y0:y0 + s, x0:x0 + s]
+    if s == px:
+        return np.ascontiguousarray(img)
+    return np.asarray(Image.fromarray(img).resize((px, px), Image.BILINEAR))
+
+
+def _find_cifar10(root: str):
+    d = os.path.join(root, "cifar-10-batches-py")
+    batches = [os.path.join(d, f"data_batch_{i}") for i in range(1, 6)]
+    present = [p for p in batches if os.path.exists(p)]
+    return present or None
+
+
+def _load_cifar10(root: str, n: int, seed: int, px: int):
+    import pickle
+
+    imgs, labels = [], []
+    for p in _find_cifar10(root):
+        with open(p, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        data = np.asarray(d[b"data"], np.uint8).reshape(-1, 3, 32, 32)
+        imgs.append(data.transpose(0, 2, 3, 1))     # CHW → HWC
+        labels.append(np.asarray(d[b"labels"], np.int32))
+    imgs = np.concatenate(imgs)
+    labels = np.concatenate(labels)
+    rng = np.random.RandomState(seed)
+    pick = (rng.permutation(len(imgs))[:n] if n <= len(imgs)
+            else rng.randint(0, len(imgs), n))     # sample w/ replacement
+    out = np.stack([_resize_u8(imgs[i], px) for i in pick])
+    return out, labels[pick].astype(np.int32)
+
+
+def _find_celeba(root: str):
+    for base in (os.path.join(root, "celeba"), root):
+        img_dir = os.path.join(base, "img_align_celeba")
+        attrs = os.path.join(base, "list_attr_celeba.txt")
+        if os.path.isdir(img_dir) and os.path.exists(attrs):
+            return img_dir, attrs
+    return None
+
+
+def _celeba_class(row: dict) -> int:
+    """10-way (hair × glasses) class matching the procedural faces' latent
+    order [black, brown, blonde, red/other, gray] × [no, yes]."""
+    if row.get("Black_Hair", -1) == 1:
+        hair = 0
+    elif row.get("Brown_Hair", -1) == 1:
+        hair = 1
+    elif row.get("Blond_Hair", -1) == 1:
+        hair = 2
+    elif row.get("Gray_Hair", -1) == 1:
+        hair = 4
+    else:
+        hair = 3   # red / unlabeled → the procedural 'red' slot
+    return hair * 2 + int(row.get("Eyeglasses", -1) == 1)
+
+
+def _load_celeba(root: str, n: int, seed: int, px: int):
+    from PIL import Image
+
+    img_dir, attr_path = _find_celeba(root)
+    with open(attr_path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    # canonical format: count line, attr-name header, then rows
+    # "filename v1 v2 ..." with v ∈ {+1,-1}
+    header_i = 1 if lines[0].isdigit() else 0
+    names = lines[header_i].split()
+    rows = []
+    for ln in lines[header_i + 1:]:
+        parts = ln.split()
+        fname = parts[0]
+        if not os.path.exists(os.path.join(img_dir, fname)):
+            continue
+        vals = dict(zip(names, (int(v) for v in parts[1:])))
+        rows.append((fname, _celeba_class(vals)))
+    if not rows:
+        raise FileNotFoundError(
+            f"CelebA attr file {attr_path} lists no image present in "
+            f"{img_dir}")
+    rng = np.random.RandomState(seed)
+    pick = (rng.permutation(len(rows))[:n] if n <= len(rows)
+            else rng.randint(0, len(rows), n))
+    imgs, labels = [], []
+    for i in pick:
+        fname, cls = rows[i]
+        with Image.open(os.path.join(img_dir, fname)) as im:
+            arr = np.asarray(im.convert("RGB"), np.uint8)
+        imgs.append(_resize_u8(arr, px))
+        labels.append(cls)
+    return np.stack(imgs), np.asarray(labels, np.int32)
+
+
+def load_natural(
+    kind: str,           # 'objects' | 'faces'
+    n: int,
+    seed: int,
+    root: str = "./data",
+    cache: bool = True,
+    px: int = 64,
+) -> Tuple[np.ndarray, np.ndarray, str]:
+    """Config-#5 loader with real-data auto-detection.
+
+    Returns (images uint8 [n,px,px,3], labels int32 [n], source) where
+    source ∈ {'cifar10', 'celeba', 'procedural'}. Real files win when
+    present (layouts above); otherwise falls back to `generate_natural`.
+    Real-data assemblies are cached under <root>/synthetic_cache/ (the
+    JPEG decode + resize pass is the expensive part, not the sampling).
+    """
+    if kind not in ("objects", "faces"):
+        raise ValueError(kind)
+    real = _find_cifar10(root) if kind == "objects" else _find_celeba(root)
+    if real is None:
+        imgs, labels = generate_natural(kind, n, seed, root=root,
+                                        cache=cache, px=px)
+        return imgs, labels, "procedural"
+
+    source = "cifar10" if kind == "objects" else "celeba"
+    cache_dir = os.path.join(root, "synthetic_cache")
+    path = os.path.join(cache_dir, f"real_{source}_{n}_{seed}_{px}px.npz")
+    if cache and os.path.exists(path):
+        z = np.load(path)
+        return z["images"], z["labels"], source
+    loader = _load_cifar10 if kind == "objects" else _load_celeba
+    imgs, labels = loader(root, n, seed, px)
+    if cache:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez_compressed(path, images=imgs, labels=labels)
+    return imgs, labels, source

@@ -66,16 +66,20 @@ def resolve_chunk_policy(
     eval_chunks,                      # "auto" | int | None
     has_mc_set: bool,
     auto_chunks: int = DEFAULT_AUTO_CHUNKS,
+    no_mc_reason: str = "no MC set (method has no candidate pool)",
 ) -> Tuple[int, str]:
     """Returns (n_chunks, reason). `eval_chunks` may be the string "auto"
     (default: fresh MC set per chunk whenever the method uses an MC set —
     see module docstring for why this is unconditional), an int (forced),
-    or None (treated as auto)."""
+    or None (treated as auto). `no_mc_reason` labels the has_mc_set=False
+    single-chunk decision — callers whose sampler regenerates candidates
+    internally (mc_refresh>1) pass an accurate provenance string so eval
+    artifacts don't mislabel mc_feng rows as pool-free (r4 verdict)."""
     if eval_chunks is not None and eval_chunks != "auto":
         n = max(1, int(eval_chunks))
         return n, f"forced (--eval_chunks {eval_chunks})"
     if not has_mc_set:
-        return 1, "no MC set (method has no candidate pool)"
+        return 1, no_mc_reason
     return (max(1, auto_chunks),
             "default: fresh MC candidates per chunk (candidates-per-"
             "trajectory controls guided quality; reference protocol — "
@@ -113,6 +117,7 @@ def sample_in_chunks(
     auto_chunks: int = DEFAULT_AUTO_CHUNKS,
     mc_cache: Optional[dict] = None,
     log_fn: Callable = print,
+    no_mc_reason: str = "no MC set (method has no candidate pool)",
 ) -> Tuple[jax.Array, jax.Array, dict, Dict]:
     """Chunked sampling with a fresh MC set per chunk (the default policy).
 
@@ -133,7 +138,8 @@ def sample_in_chunks(
     info: Dict = {}
 
     n_chunks, reason = resolve_chunk_policy(
-        eval_chunks, make_mc_set is not None, auto_chunks)
+        eval_chunks, make_mc_set is not None, auto_chunks,
+        no_mc_reason=no_mc_reason)
     n_chunks = min(n_chunks, max(1, num_samples))
     info["n_chunks"] = n_chunks
     info["chunk_policy"] = reason

@@ -175,11 +175,26 @@ def mc_feng_guidance(
     # math (w/g themselves are already globally exact via psum above).
     w_min = jnp.min(w)
     w_max = jnp.max(w)
+    # Per-trajectory argmax candidate index over the FULL MC axis [B] —
+    # the candidate each trajectory is currently locked onto (trajectory
+    # ESS pins at ~1, so the argmax carries almost all the weight). Used
+    # by scripts/mc_refresh_probe.py to count mid-flight re-ranks.
+    loc_idx = jnp.argmax(w, axis=1)                          # [B] local
+    loc_val = jnp.max(w, axis=1)                             # [B]
     if mc_axis is not None:
         w_min = jax.lax.pmin(w_min, mc_axis)
         w_max = jax.lax.pmax(w_max, mc_axis)
+        gmax = jax.lax.pmax(loc_val, mc_axis)
+        offset = jax.lax.axis_index(mc_axis) * n_local
+        # ties broken toward the largest global index (deterministic on
+        # every device, so sharded == unsharded modulo tie order)
+        cand = jnp.where(loc_val >= gmax, loc_idx + offset, -1)
+        w_argmax = jax.lax.pmax(cand, mc_axis)
+    else:
+        w_argmax = loc_idx
     diag = {
         "ess": ess[:, 0],
+        "w_argmax": w_argmax,
         "w_min": w_min,
         "w_max": w_max,
         "Z_bar_mean": jnp.mean(Z_bar),
@@ -264,17 +279,21 @@ class GuidedSamplerConfig:
     # (mc_feng/mc_feng+grad only). 1 = reference protocol: one set for the
     # whole ODE (flow_utils.py:231-258 generates once per call). K>1 splits
     # the main loop into K equal segments and regenerates the N_mc set
-    # (phase A + ratio eval) at each boundary. Rationale: the importance-
-    # sampling estimate behind the guidance term is unbiased for ANY iid
-    # candidate set — the reference's single shared set is an efficiency
-    # choice, and its finite-set bias is what locks each trajectory onto
-    # one argmax candidate from t≈0 (trajectory ESS pins at 1, round-2/3
-    # studies). Refreshing re-ranks against new candidates mid-flight:
-    # at later t the Gaussian p_t(x_t|x1) window has narrowed, so the new
-    # set's weights concentrate on candidates NEAR the current trajectory
-    # — candidate diversity along time instead of across a bigger set.
-    # Cost: K× phase A. Requires num_steps % K == 0; incompatible with a
-    # caller-provided mc_set and with a sharded mc_axis.
+    # (phase A + ratio eval) at each boundary.
+    # ABLATION ONLY — MEASURED HARMFUL (round 4, exp-1 full stack, γ=1):
+    # coherence 0.824 → 0.363 (K=2) / 0.213 (K=4), FID 218 → 452/641
+    # (docs/results_r4/mc_refresh{2,4}_eval.json). Mechanism (confirmed by
+    # scripts/mc_refresh_probe.py per-step w_argmax instrumentation,
+    # docs/results_r5/mc_refresh_probe.json): within a segment each
+    # trajectory locks onto one argmax candidate (ESS≈1) and integrates
+    # toward it; a refresh boundary re-ranks against a set that was NOT
+    # selected for proximity, so the trajectory is yanked toward a new far
+    # candidate with conditional velocity (x1−x_t)/(1−t) — enormous and
+    # coherence-free at late t. The original "diversity along time"
+    # rationale ignored that the lock IS the guidance signal.
+    # Kept for ablations/negative-result reproduction. Cost: K× phase A.
+    # Requires num_steps % K == 0; incompatible with a caller-provided
+    # mc_set and with a sharded mc_axis.
     mc_refresh: int = 1
 
 

@@ -43,17 +43,11 @@ class RatioTrainState(train_state.TrainState):
     ema_params: Any = None
 
 
-def make_fm_train_step(model, *, donate: bool = True,
-                       ema_decay: float | None = None) -> Callable:
-    """Build step(state, x1, key) -> (state, loss) for a velocity model.
+def _fm_substep(model, ema_decay: float | None):
+    """Unjitted FM step body (state, x1, key) -> (state, loss): shared by
+    the single-step builder and the fused multi-step scan."""
 
-    With `ema_decay` set (and state.ema_params initialized —
-    create_fm_state(ema_decay=...)), the step also updates the Polyak
-    average ema = d·ema + (1-d)·params after the optimizer step — one
-    fused multiply-add per leaf inside the same jitted program.
-    """
-
-    def step(state: FMTrainState, x1: jax.Array, key: jax.Array):
+    def substep(state: FMTrainState, x1: jax.Array, key: jax.Array):
         kt, kn, kd = jax.random.split(key, 3)
 
         def loss_fn(params):
@@ -72,6 +66,61 @@ def make_fm_train_step(model, *, donate: bool = True,
                 lambda e, p: d * e + (1.0 - d) * p,
                 state.ema_params, state.params))
         return state, loss
+
+    return substep
+
+
+def make_fm_train_step(model, *, donate: bool = True,
+                       ema_decay: float | None = None) -> Callable:
+    """Build step(state, x1, key) -> (state, loss) for a velocity model.
+
+    With `ema_decay` set (and state.ema_params initialized —
+    create_fm_state(ema_decay=...)), the step also updates the Polyak
+    average ema = d·ema + (1-d)·params after the optimizer step — one
+    fused multiply-add per leaf inside the same jitted program.
+    """
+    step = _fm_substep(model, ema_decay)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_fm_train_multistep(model, *, donate: bool = True,
+                            ema_decay: float | None = None) -> Callable:
+    """Build a FUSED K-step trainer:
+    step(state, dataset, idx[K,B], key) -> (state, mean_loss).
+
+    TPU-first dispatch amortization (round-5 train-MFU item): at reference
+    batch sizes a single FM optimizer step is 5–20 ms of compute, so on a
+    tunneled backend per-step dispatch latency caps train MFU (~34%
+    measured, bench_details.json r4). This runs K optimizer steps as ONE
+    XLA program via `lax.scan`, with the device-resident dataset passed as
+    a jit ARGUMENT (constant-embedding would 413 the remote compiler —
+    CLAUDE.md) and each sub-batch gathered on-device from int32 indices:
+    per dispatch, host↔device traffic is one [K,B] int32 array and one
+    scalar loss.
+
+    Key discipline: sub-step j uses fold_in(key, j) — deterministic in
+    (key, j), so preemption resume at macro-step granularity reproduces
+    the uninterrupted stream (the driver's key for a macro step is already
+    fold_in(epoch_key, macro_i)). The randomness stream differs from a
+    K=1 run of the same seed (documented in the --fused_steps help); the
+    estimator is identical.
+
+    Returns the MEAN loss over the K sub-steps so the epoch driver's
+    averaging stays correct (each macro step contributes one scalar).
+    """
+    substep = _fm_substep(model, ema_decay)
+
+    def step(state: FMTrainState, dataset: jax.Array, idx: jax.Array,
+             key: jax.Array):
+        def body(st, xs):
+            idx_j, j = xs
+            x1 = jnp.take(dataset, idx_j, axis=0)
+            st, loss = substep(st, x1, jax.random.fold_in(key, j))
+            return st, loss
+
+        state, losses = jax.lax.scan(
+            body, state, (idx, jnp.arange(idx.shape[0], dtype=jnp.uint32)))
+        return state, jnp.mean(losses)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ratio_guided_multimodal_fm_tpu.core.prng import RNG, set_seed
-from ratio_guided_multimodal_fm_tpu.data.natural import generate_natural
+from ratio_guided_multimodal_fm_tpu.data.natural import load_natural
 from ratio_guided_multimodal_fm_tpu.data.pipeline import Pairing, to_unit_range
 from ratio_guided_multimodal_fm_tpu.eval.coherence import label_entropy
 from ratio_guided_multimodal_fm_tpu.eval.viz import visualize_pairs_mnist_svhn
@@ -144,10 +144,12 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     set_seed(args.seed)
-    print("Generating natural-image-class data (objects/faces)...",
-          flush=True)
-    x_u8, x_lbl = generate_natural("objects", args.n, seed=20)
-    y_u8, y_lbl = generate_natural("faces", args.n, seed=21)
+    print("Loading natural-image-class data (objects/faces)...", flush=True)
+    # Real CIFAR-10 / CelebA files under ./data win when present
+    # (data/natural.py:load_natural layouts); procedural otherwise.
+    x_u8, x_lbl, x_src = load_natural("objects", args.n, seed=20)
+    y_u8, y_lbl, y_src = load_natural("faces", args.n, seed=21)
+    print(f"  objects source: {x_src}, faces source: {y_src}", flush=True)
     x_imgs, y_imgs = to_unit_range(x_u8), to_unit_range(y_u8)
     pairing = Pairing(y_lbl)
     # one-time upload: all per-step batches are device-side gathers
@@ -246,6 +248,7 @@ def main():
 
     os.makedirs("outputs/config5", exist_ok=True)
     results = {"n_train": args.n, "fm_params_per_modality": n_params,
+               "data_sources": {"objects": x_src, "faces": y_src},
                "classifier_acc": {"objects": acc_x, "faces": acc_y},
                "loss_curve": loss_curve, "eval": []}
 

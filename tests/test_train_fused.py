@@ -1,0 +1,128 @@
+"""Fused K-step training (train/steps.py:make_fm_train_multistep +
+data/mnist_dataset.py index-chunk loader + --fused_steps CLI wiring):
+one XLA program per K optimizer steps, sub-batches gathered on-device.
+Round-5 train-MFU item (VERDICT r4 #4)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ratio_guided_multimodal_fm_tpu.data.mnist_dataset import (
+    get_index_chunk_loader,
+)
+from ratio_guided_multimodal_fm_tpu.models.unet import FlexibleUNet
+from ratio_guided_multimodal_fm_tpu.train.steps import (
+    create_fm_state,
+    make_fm_train_multistep,
+    make_fm_train_step,
+)
+
+H = 8
+
+
+def _model():
+    return FlexibleUNet(in_channels=1, img_size=H, model_channels=8,
+                        channel_mult=(1, 2), num_res_blocks=1)
+
+
+def _tree_allclose(a, b, **kw):
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), **kw)
+
+
+def _sgd_state(fm, ema_decay):
+    """SGD state for the equality test: Adam's update normalizes away the
+    gradient magnitude, so on near-zero grads it amplifies scan-vs-unrolled
+    rounding differences (sign flips) to O(lr) — SGD keeps the two runs
+    comparable at tight tolerance (what we're testing is the fused
+    gather/key/threading mechanics, not the optimizer)."""
+    import optax
+    from ratio_guided_multimodal_fm_tpu.train.steps import FMTrainState
+
+    variables = fm.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, H, H, 1)), jnp.zeros((1,)))
+    ema = (jax.tree_util.tree_map(jnp.copy, variables["params"])
+           if ema_decay is not None else None)
+    return FMTrainState.create(apply_fn=fm.apply,
+                               params=variables["params"],
+                               tx=optax.sgd(1e-2), ema_params=ema)
+
+
+@pytest.mark.parametrize("ema_decay", [None, 0.9])
+def test_fused_matches_manual_substeps(ema_decay):
+    """K fused steps == K single steps run with the fused key discipline
+    (sub-key j = fold_in(macro_key, j)) on the same gathered batches."""
+    fm = _model()
+    K, B, N = 3, 4, 32
+    dataset = jnp.asarray(
+        np.random.RandomState(0).randn(N, H, H, 1).astype(np.float32))
+    idx = jnp.asarray(
+        np.random.RandomState(1).randint(0, N, (K, B)).astype(np.int32))
+    key = jax.random.PRNGKey(7)
+
+    state_f = _sgd_state(fm, ema_decay)
+    fused = make_fm_train_multistep(fm, ema_decay=ema_decay)
+    state_f, mean_loss = fused(state_f, dataset, idx, key)
+
+    state_s = _sgd_state(fm, ema_decay)
+    single = make_fm_train_step(fm, ema_decay=ema_decay)
+    losses = []
+    for j in range(K):
+        state_s, loss = single(state_s, dataset[idx[j]],
+                               jax.random.fold_in(key, j))
+        losses.append(float(loss))
+
+    # scan vs unrolled compilation reassociates float ops (and this JAX
+    # build lowers f32 matmuls to bf16 MXU passes) — identical math, not
+    # identical rounding: allow small per-leaf drift.
+    _tree_allclose(state_f.params, state_s.params, rtol=1e-3, atol=2e-5)
+    if ema_decay is not None:
+        _tree_allclose(state_f.ema_params, state_s.ema_params,
+                       rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(float(mean_loss), np.mean(losses), rtol=1e-3)
+    assert int(state_f.step) == K
+
+
+def test_index_chunk_loader_contract():
+    loader = get_index_chunk_loader(n=100, batch_size=8, fused_steps=3,
+                                    seed=5)
+    # 100 // (3*8) = 4 macro chunks (drop-last)
+    assert len(loader) == 4
+    chunks = list(loader.epoch(2))
+    assert len(chunks) == 4
+    assert all(c.shape == (3, 8) and c.dtype == np.int32 for c in chunks)
+    # position-addressed: epoch(e) reproduces, epochs differ
+    again = list(loader.epoch(2))
+    for a, b in zip(chunks, again):
+        np.testing.assert_array_equal(a, b)
+    other = list(loader.epoch(3))
+    assert any(not np.array_equal(a, b) for a, b in zip(chunks, other))
+    # a permutation: no index repeats within an epoch
+    flat = np.concatenate([c.ravel() for c in chunks])
+    assert len(np.unique(flat)) == len(flat)
+
+
+def test_train_flow_cli_fused_smoke(tmp_path, monkeypatch):
+    """--fused_steps end-to-end: trains, saves a best checkpoint, logs
+    the macro-step note. The CLI's full 901K UNet compiles in minutes
+    through the remote compile helper — swap in a tiny FlexibleUNet via
+    the module's fm_model hook (the wiring under test is the CLI fused
+    branch, not the architecture)."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("RGMF_SYNTH_N", "256")
+    from ratio_guided_multimodal_fm_tpu.cli import train_flow
+
+    monkeypatch.setattr(
+        train_flow, "fm_model",
+        lambda kind: FlexibleUNet(in_channels=1, img_size=28,
+                                  model_channels=8, channel_mult=(1, 2),
+                                  num_res_blocks=1))
+    train_flow.main(["--modality", "x", "--epochs", "1",
+                     "--batch_size", "32", "--fused_steps", "2",
+                     "--device", "cpu"])
+    assert os.path.isdir(os.path.join(tmp_path, "checkpoints", "flow_x_best"))
