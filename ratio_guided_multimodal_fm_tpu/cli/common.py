@@ -110,6 +110,15 @@ def add_smc_flags(p: argparse.ArgumentParser):
     p.add_argument("--smc_t_max", type=float, default=0.9,
                    help="no resampling after this t (leave churn time to "
                         "decorrelate resampled clones)")
+    p.add_argument("--smc_resample_window", type=str, default="t",
+                   choices=["t", "step"],
+                   help="resample-window semantics: 't' gates on raw time "
+                        "(round-4 protocol), 'step' gates on the step "
+                        "fraction i/num_steps — identical on the uniform "
+                        "grid, but keeps the selection budget constant "
+                        "under non-uniform --time_grid (a fixed t-window "
+                        "starves selection on the early grid: 0.525 vs "
+                        "0.701, smc_mp12_early.json)")
     p.add_argument("--smc_group", type=int, default=16,
                    help="stratified (island) selection group size: "
                         "particles resample within independent groups of "
@@ -133,6 +142,7 @@ def smc_config_from_args(args, strength: float, x_shape, y_shape):
         resample_tau=args.smc_resample_tau,
         resample_t_min=args.smc_t_min, resample_t_max=args.smc_t_max,
         resample_group=args.smc_group,
+        resample_window=getattr(args, "smc_resample_window", "t"),
         log_ratio_clip=getattr(args, "ratio_clip", None),
         solver=args.solver, time_grid=args.time_grid,
         grid_power=args.grid_power)

@@ -358,3 +358,74 @@ def test_island_padding_handles_nondividing_batch():
     assert float(np.asarray(diags["resampled"]).sum()) > 0
     # samples land in the target modes (|x| near 2)
     assert float(np.abs(np.abs(np.asarray(x1)) - 2.0).mean()) < 0.8
+
+
+# ------------------------------------------------- resample-window semantics
+
+def test_step_window_equals_t_window_on_uniform_grid():
+    """resample_window='step' gates on f32(i)·f32(1/N) — the exact uniform
+    ts values — so on the uniform grid the two modes are bit-identical."""
+    s = 0.35
+    v_fn = _mixture_velocity((-2.0, 2.0), s)
+
+    def log_ratio(x, y):
+        return 8.0 * jnp.tanh(x[:, 0] * y[:, 0] / 2.0)
+
+    outs = []
+    for window in ("t", "step"):
+        cfg = SMCSamplerConfig(guidance_strength=1.0, num_steps=24,
+                               x_shape=(1,), y_shape=(1,), churn=1.0,
+                               resample_window=window)
+        sampler = jax.jit(make_smc_sampler(v_fn, v_fn, cfg, log_ratio),
+                          static_argnums=(1,))
+        outs.append(sampler(jax.random.PRNGKey(5), 64))
+    np.testing.assert_array_equal(np.asarray(outs[0][0]),
+                                  np.asarray(outs[1][0]))
+    np.testing.assert_array_equal(np.asarray(outs[0][1]),
+                                  np.asarray(outs[1][1]))
+
+
+def test_step_window_restores_selection_budget_on_early_grid():
+    """The early grid (g(s)=s², power 2) pushes most STEP TIMES below
+    resample_t_min — a fixed t-window then starves selection (the
+    measured smc_mp12_early failure). 'step' mode must keep the number
+    of resample-ELIGIBLE steps identical to the uniform grid's."""
+    s = 0.35
+    v_fn = _mixture_velocity((-2.0, 2.0), s)
+
+    def log_ratio(x, y):
+        return 8.0 * jnp.tanh(x[:, 0] * y[:, 0] / 2.0)
+
+    def resamples(window):
+        # tau=1.0: resample at EVERY in-window step → the resampled-event
+        # count equals the window's step budget (island mode counts
+        # fraction-of-groups per step; all groups fire at tau=1).
+        cfg = SMCSamplerConfig(guidance_strength=1.0, num_steps=24,
+                               x_shape=(1,), y_shape=(1,), churn=1.0,
+                               resample_tau=1.0, time_grid="early",
+                               grid_power=2.0, resample_window=window)
+        sampler = jax.jit(make_smc_sampler(v_fn, v_fn, cfg, log_ratio),
+                          static_argnums=(1,))
+        _, _, diags = sampler(jax.random.PRNGKey(6), 64)
+        return float(np.asarray(diags["resampled"]).sum())
+
+    n_t, n_step = resamples("t"), resamples("step")
+    # early grid, window [0.2, 0.9]: t-mode eligible when (i/24)² ∈
+    # [0.2, 0.9] ⇔ i ∈ [11, 22] → 12 steps; step mode when i/24 ∈
+    # [0.2, 0.9] ⇔ i ∈ [5, 21] → 17 steps (= the uniform-grid budget).
+    assert n_step > n_t, (n_t, n_step)
+    # and the step-mode budget matches the uniform-grid t-mode budget
+    cfg_u = SMCSamplerConfig(guidance_strength=1.0, num_steps=24,
+                             x_shape=(1,), y_shape=(1,), churn=1.0,
+                             resample_tau=1.0, resample_window="t")
+    sampler_u = jax.jit(make_smc_sampler(v_fn, v_fn, cfg_u, log_ratio),
+                        static_argnums=(1,))
+    _, _, diags_u = sampler_u(jax.random.PRNGKey(6), 64)
+    assert n_step == float(np.asarray(diags_u["resampled"]).sum())
+
+
+def test_rejects_bad_resample_window():
+    with pytest.raises(ValueError):
+        make_smc_sampler(lambda x, t: x, lambda y, t: y,
+                         SMCSamplerConfig(resample_window="epoch"),
+                         lambda x, y: jnp.zeros(x.shape[0]))
