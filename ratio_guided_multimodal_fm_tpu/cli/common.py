@@ -148,6 +148,22 @@ def smc_config_from_args(args, strength: float, x_shape, y_shape):
         grid_power=args.grid_power)
 
 
+def add_fused_flag(p: argparse.ArgumentParser):
+    """--fused_steps for the FM train CLIs (train/steps.py:
+    make_fm_train_multistep): K optimizer steps per dispatch as one
+    lax.scan program over the device-cached dataset."""
+    p.add_argument("--fused_steps", type=int, default=1,
+                   help="Run K optimizer steps per dispatch as ONE fused "
+                        "lax.scan program over the device-cached dataset "
+                        "— amortizes per-dispatch latency (the round-4 "
+                        "train-MFU bottleneck). Single-process only. "
+                        "Notes: the randomness stream differs from a K=1 "
+                        "run of the same seed (per-sub-step fold_in), "
+                        "trailing batches that don't fill a K-chunk are "
+                        "dropped, and preemption granularity becomes K "
+                        "steps. 1 = reference protocol.")
+
+
 def add_ema_flag(p: argparse.ArgumentParser):
     """--ema / --ratio_ema for every sampler-facing CLI: load the
     Polyak-averaged flow weights (flow_*_ema_best) and/or ratio weights

@@ -52,19 +52,8 @@ def main(argv=None):
                              "(e.g. 0.999); best saves also write "
                              "flow_*_ema_best, loadable with --ema on the "
                              "sample/evaluate CLIs")
-    parser.add_argument("--fused_steps", type=int, default=1,
-                        help="Run K optimizer steps per dispatch as ONE "
-                             "fused lax.scan program over the device-"
-                             "cached dataset (train/steps.py:"
-                             "make_fm_train_multistep) — amortizes the "
-                             "tunneled backend's per-dispatch latency "
-                             "(the round-4 train-MFU bottleneck). "
-                             "Single-process only. Notes: the randomness "
-                             "stream differs from a K=1 run of the same "
-                             "seed (per-sub-step fold_in), trailing "
-                             "batches that don't fill a K-chunk are "
-                             "dropped, and preemption granularity becomes "
-                             "K steps. 1 = reference protocol.")
+    from ratio_guided_multimodal_fm_tpu.cli.common import add_fused_flag
+    add_fused_flag(parser)
     parser.add_argument("--metrics_dir", type=str, default=None,
                         help="Write JSONL epoch metrics here (observability)")
     parser.add_argument("--profile_dir", type=str, default=None,

@@ -36,9 +36,16 @@ from ratio_guided_multimodal_fm_tpu.train.steps import (
 )
 
 
-def run_flow_training(model, sample_shape, loader, args, ckpt_prefix: str):
+def run_flow_training(model, sample_shape, loader, args, ckpt_prefix: str,
+                      dataset=None):
     """Shared driver for the mnist32/svhn flow scripts (--resume support,
-    step-granular --preempt_path preemption — SURVEY §5.3)."""
+    step-granular --preempt_path preemption — SURVEY §5.3).
+
+    `dataset`: the full (device-cached) modality array backing `loader`.
+    When provided AND --fused_steps > 1, training switches to the fused
+    K-step dispatch (train/steps.py:make_fm_train_multistep): the epoch
+    loop iterates [K,B] index chunks and each train_step call runs K
+    optimizer steps on-device."""
     ema_decay = getattr(args, "ema_decay", None)
     state = create_fm_state(model, jax.random.PRNGKey(args.seed),
                             sample_shape, lr=args.lr, ema_decay=ema_decay)
@@ -85,13 +92,35 @@ def run_flow_training(model, sample_shape, loader, args, ckpt_prefix: str):
         resume["start_epoch"] = start_epoch    # from --resume (epoch-level)
         resume["start_best"] = best_loss
 
-    step = make_fm_train_step(model, ema_decay=ema_decay)
     rng = RNG(args.seed + 1)
+    fused_k = int(getattr(args, "fused_steps", 1) or 1)
+    if fused_k > 1 and dataset is not None:
+        if jax.process_count() > 1:
+            raise SystemExit("--fused_steps > 1 is single-process only "
+                             "(multi-process DP shards host batches)")
+        from ratio_guided_multimodal_fm_tpu.data.mnist_dataset import (
+            get_index_chunk_loader,
+        )
+        from ratio_guided_multimodal_fm_tpu.train.steps import (
+            make_fm_train_multistep,
+        )
+        loader = get_index_chunk_loader(len(dataset), args.batch_size,
+                                        fused_k, seed=args.seed)
+        fused = make_fm_train_multistep(model, ema_decay=ema_decay)
 
-    from ratio_guided_multimodal_fm_tpu.cli.common import multihost_adapt
-    state, step_fn, extract = multihost_adapt(
-        state, lambda s, x, k: step(s, x, k),
-        lambda b: jnp.asarray(b["x"]))
+        def step_fn(s, idx, k, _f=fused, _d=dataset):
+            return _f(s, _d, idx, k)
+
+        extract = None
+        print(f"Fused dispatch: {fused_k} steps/program, "
+              f"{len(loader)} programs/epoch (epoch logs count programs)")
+    else:
+        step = make_fm_train_step(model, ema_decay=ema_decay)
+
+        from ratio_guided_multimodal_fm_tpu.cli.common import multihost_adapt
+        state, step_fn, extract = multihost_adapt(
+            state, lambda s, x, k: step(s, x, k),
+            lambda b: jnp.asarray(b["x"]))
 
     def save_best(s, epoch, best):
         path = f"checkpoints/{ckpt_prefix}_best"
@@ -111,7 +140,8 @@ def run_flow_training(model, sample_shape, loader, args, ckpt_prefix: str):
 
     _, best, history = train_epochs(
         state, step_fn,
-        epoch_data_iter(loader, extract),
+        (epoch_data_iter(loader) if extract is None
+         else epoch_data_iter(loader, extract)),
         args.epochs, rng,
         loss_key=None,
         save_best_fn=save_best, save_periodic_fn=save_periodic,
@@ -142,6 +172,8 @@ def main(argv=None):
                         help="Preemption-safe training: on SIGTERM, save a "
                              "step-granular resumable checkpoint here and "
                              "exit; if it exists at startup, resume from it")
+    from ratio_guided_multimodal_fm_tpu.cli.common import add_fused_flag
+    add_fused_flag(parser)
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
@@ -152,7 +184,9 @@ def main(argv=None):
     loader = wrap_loader(get_mnist32_flow_dataloader(
         args.batch_size, True, args.data_root, seed=args.seed), args)
     model = FlowMatchingUNetMNIST(img_size=32)
-    run_flow_training(model, (32, 32, 1), loader, args, "flow_mnist32")
+    from ratio_guided_multimodal_fm_tpu.data.mnist_svhn import _mnist32
+    run_flow_training(model, (32, 32, 1), loader, args, "flow_mnist32",
+                      dataset=_mnist32(args.data_root, True)[0])
 
 
 if __name__ == "__main__":

@@ -39,6 +39,8 @@ def main(argv=None):
                         help="Preemption-safe training: on SIGTERM, save a "
                              "step-granular resumable checkpoint here and "
                              "exit; if it exists at startup, resume from it")
+    from ratio_guided_multimodal_fm_tpu.cli.common import add_fused_flag
+    add_fused_flag(parser)
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
@@ -49,7 +51,9 @@ def main(argv=None):
     loader = wrap_loader(get_svhn_flow_dataloader(
         args.batch_size, True, args.data_root, seed=args.seed), args)
     model = FlowMatchingUNetSVHN()
-    run_flow_training(model, (32, 32, 3), loader, args, "flow_svhn")
+    from ratio_guided_multimodal_fm_tpu.data.mnist_svhn import _svhn
+    run_flow_training(model, (32, 32, 3), loader, args, "flow_svhn",
+                      dataset=_svhn(args.data_root, True)[0])
 
 
 if __name__ == "__main__":

@@ -143,6 +143,49 @@ def get_ratio_dataloader(transform_type: str = "rotate90",
     return _EpochLoader(make_iter, n_batches, seed)
 
 
+def get_ratio_index_loader(transform_type: str = "rotate90",
+                           batch_size: int = 128, fused_steps: int = 1,
+                           real_fake_ratio: float = 0.5,
+                           train: bool = True, root: str = "./data",
+                           seed: int = 0):
+    """Fused-trainer twin of `get_ratio_dataloader`: returns
+    (x_all, y_all, loader) where x_all/y_all are the full device-cached
+    modality arrays and the loader yields dicts of int32/f32 chunks
+    {'xidx': [K,B], 'yidx': [K,B], 'is_real': [K,B]} for
+    `train/steps.py:make_ratio_train_multistep`. The pairing semantics
+    (same-label real partner, different-label fake — ref
+    mnist_svhn_dataset.py:93-99/:151-170) and the position-addressed
+    epoch-order contract are identical to the batch loader; only the
+    gather moves on-device."""
+    imgs_u8, labels = load_mnist(root, train)
+    x = to_unit_range(imgs_u8)
+    y_all = maybe_device_cache(np.asarray(apply_transform(transform_type, x)))
+    x = maybe_device_cache(x)
+    pairing = Pairing(labels)
+    k, b = int(fused_steps), int(batch_size)
+    n_chunks = len(labels) // (k * b)
+
+    def make_iter(rng):
+        order = rng.permutation(len(labels)) if train else np.arange(
+            len(labels))
+        for c in range(n_chunks):
+            idx = order[c * k * b:(c + 1) * k * b]
+            lbl = labels[idx]
+            is_real = rng.rand(k * b) < real_fake_ratio
+            y_same = pairing.same_label(lbl, rng)
+            y_diff, _ = pairing.different_label(lbl, rng)
+            y_idx = np.where(is_real, y_same, y_diff)
+            yield {
+                "xidx": np.ascontiguousarray(
+                    idx.reshape(k, b).astype(np.int32)),
+                "yidx": np.ascontiguousarray(
+                    y_idx.reshape(k, b).astype(np.int32)),
+                "is_real": is_real.reshape(k, b).astype(np.float32),
+            }
+
+    return x, y_all, _EpochLoader(make_iter, n_chunks, seed)
+
+
 def get_classifier_dataloader(batch_size: int = 128, train: bool = True,
                               root: str = "./data", seed: int = 0) -> _EpochLoader:
     """Plain (image, label) batches for the MNIST-28 eval classifier."""

@@ -125,20 +125,11 @@ def make_fm_train_multistep(model, *, donate: bool = True,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_ratio_train_step(
-    model,
-    loss_type: str = "disc",
-    has_batch_stats: bool = False,
-    donate: bool = True,
-    ema_decay: float | None = None,
-    **loss_kwargs,
-) -> Callable:
-    """Build step(state, x, y, is_real, key) -> (state, metrics).
-
-    `ema_decay` (with create_ratio_state(ema_decay=...)) maintains the
-    Polyak average of the ratio params inside the jitted step, mirroring
-    the FM step's EMA.
-    """
+def _ratio_substep(model, loss_type: str, has_batch_stats: bool,
+                   ema_decay: float | None, **loss_kwargs):
+    """Unjitted ratio step body (state, x, y, is_real, key) ->
+    (state, metrics): shared by the single-step builder and the fused
+    multi-step scan."""
     loss_fn_inner = get_ratio_loss(loss_type, **loss_kwargs)
 
     def step(state: RatioTrainState, x, y, is_real, key):
@@ -170,6 +161,62 @@ def make_ratio_train_step(
                 lambda e, p: d * e + (1.0 - d) * p,
                 state.ema_params, state.params))
         return state, metrics
+
+    return step
+
+
+def make_ratio_train_step(
+    model,
+    loss_type: str = "disc",
+    has_batch_stats: bool = False,
+    donate: bool = True,
+    ema_decay: float | None = None,
+    **loss_kwargs,
+) -> Callable:
+    """Build step(state, x, y, is_real, key) -> (state, metrics).
+
+    `ema_decay` (with create_ratio_state(ema_decay=...)) maintains the
+    Polyak average of the ratio params inside the jitted step, mirroring
+    the FM step's EMA.
+    """
+    step = _ratio_substep(model, loss_type, has_batch_stats, ema_decay,
+                          **loss_kwargs)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_ratio_train_multistep(
+    model,
+    loss_type: str = "disc",
+    has_batch_stats: bool = False,
+    donate: bool = True,
+    ema_decay: float | None = None,
+    **loss_kwargs,
+) -> Callable:
+    """FUSED K-step ratio trainer:
+    step(state, x_all, y_all, xidx[K,B], yidx[K,B], is_real[K,B], key)
+    -> (state, metrics) — the ratio twin of `make_fm_train_multistep`
+    (same dispatch-amortization rationale and key discipline; see that
+    docstring). The host still computes the label pairings (cheap numpy,
+    data/mnist_dataset.py:get_ratio_index_loader); only the int32 index
+    arrays + the f32 real/fake mask move per dispatch. Returns per-key
+    MEAN metrics over the K sub-steps ([K]-mean of each metric scalar),
+    so the epoch driver's averaging stays correct. BatchNorm stats and
+    the EMA thread through the scan carry like any other state field."""
+    substep = _ratio_substep(model, loss_type, has_batch_stats, ema_decay,
+                             **loss_kwargs)
+
+    def step(state: RatioTrainState, x_all, y_all, xidx, yidx, is_real,
+             key):
+        def body(st, xs):
+            xi, yi, ir, j = xs
+            x = jnp.take(x_all, xi, axis=0)
+            y = jnp.take(y_all, yi, axis=0)
+            st, metrics = substep(st, x, y, ir, jax.random.fold_in(key, j))
+            return st, metrics
+
+        ks = jnp.arange(xidx.shape[0], dtype=jnp.uint32)
+        state, metrics = jax.lax.scan(body, state, (xidx, yidx, is_real, ks))
+        return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 

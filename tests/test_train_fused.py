@@ -126,3 +126,126 @@ def test_train_flow_cli_fused_smoke(tmp_path, monkeypatch):
                      "--batch_size", "32", "--fused_steps", "2",
                      "--device", "cpu"])
     assert os.path.isdir(os.path.join(tmp_path, "checkpoints", "flow_x_best"))
+
+
+def test_train_flow_mnist32_cli_fused_smoke(tmp_path, monkeypatch):
+    """Exp-2 trainer wiring of --fused_steps (run_flow_training's dataset
+    branch): tiny model swap, one epoch, checkpoint lands."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("RGMF_SYNTH_N", "256")
+    from ratio_guided_multimodal_fm_tpu.cli import train_flow_mnist32
+    from ratio_guided_multimodal_fm_tpu.data import mnist_svhn
+
+    mnist_svhn._CACHE.clear()          # other tests cache ./data arrays
+    monkeypatch.setattr(
+        train_flow_mnist32, "FlowMatchingUNetMNIST",
+        lambda img_size=32: FlexibleUNet(in_channels=1, img_size=32,
+                                         model_channels=8,
+                                         channel_mult=(1, 2),
+                                         num_res_blocks=1))
+    train_flow_mnist32.main(["--epochs", "1", "--batch_size", "32",
+                             "--fused_steps", "2", "--device", "cpu"])
+    assert os.path.isdir(os.path.join(tmp_path, "checkpoints",
+                                      "flow_mnist32_best"))
+    mnist_svhn._CACHE.clear()          # don't leak tmp arrays to the suite
+
+
+# ------------------------------------------------------- ratio fused steps
+
+def _ratio_sgd_state(model, ema_decay=None):
+    import optax
+    from ratio_guided_multimodal_fm_tpu.train.steps import RatioTrainState
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, H, H, 1)), jnp.zeros((1, H, H, 1)))
+    ema = (jax.tree_util.tree_map(jnp.copy, variables["params"])
+           if ema_decay is not None else None)
+    return RatioTrainState.create(apply_fn=model.apply,
+                                  params=variables["params"],
+                                  tx=optax.sgd(1e-2),
+                                  batch_stats=variables.get("batch_stats"),
+                                  ema_params=ema)
+
+
+def test_ratio_fused_matches_manual_substeps():
+    from ratio_guided_multimodal_fm_tpu.models.ratio import (
+        FlexibleRatioEstimator,
+    )
+    from ratio_guided_multimodal_fm_tpu.train.steps import (
+        make_ratio_train_multistep,
+        make_ratio_train_step,
+    )
+
+    model = FlexibleRatioEstimator(feature_dim=16, hidden_dim=32)
+    K, B, N = 3, 4, 24
+    r = np.random.RandomState(0)
+    x_all = jnp.asarray(r.randn(N, H, H, 1).astype(np.float32))
+    y_all = jnp.asarray(r.randn(N, H, H, 1).astype(np.float32))
+    xidx = jnp.asarray(r.randint(0, N, (K, B)).astype(np.int32))
+    yidx = jnp.asarray(r.randint(0, N, (K, B)).astype(np.int32))
+    is_real = jnp.asarray((r.rand(K, B) < 0.5).astype(np.float32))
+    key = jax.random.PRNGKey(9)
+
+    state_f = _ratio_sgd_state(model)
+    fused = make_ratio_train_multistep(model, "disc")
+    state_f, metrics_f = fused(state_f, x_all, y_all, xidx, yidx, is_real,
+                               key)
+
+    state_s = _ratio_sgd_state(model)
+    single = make_ratio_train_step(model, "disc")
+    per_step = []
+    for j in range(K):
+        state_s, m = single(state_s, x_all[xidx[j]], y_all[yidx[j]],
+                            is_real[j], jax.random.fold_in(key, j))
+        per_step.append({k: float(v) for k, v in m.items()})
+
+    _tree_allclose(state_f.params, state_s.params, rtol=1e-3, atol=2e-5)
+    for k in metrics_f:
+        np.testing.assert_allclose(
+            float(metrics_f[k]), np.mean([m[k] for m in per_step]),
+            rtol=1e-3, atol=1e-5)
+
+
+def test_ratio_index_loader_contract():
+    from ratio_guided_multimodal_fm_tpu.data.mnist_dataset import (
+        get_ratio_index_loader,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        os.environ["RGMF_SYNTH_N"] = "256"
+        try:
+            x_all, y_all, loader = get_ratio_index_loader(
+                batch_size=16, fused_steps=2, root=root, seed=3)
+        finally:
+            os.environ.pop("RGMF_SYNTH_N", None)
+    assert len(x_all) == 256 and x_all.shape[1:] == (28, 28, 1)
+    chunks = list(loader.epoch(0))
+    assert len(chunks) == 256 // 32
+    c = chunks[0]
+    assert c["xidx"].shape == (2, 16) and c["xidx"].dtype == np.int32
+    assert c["yidx"].shape == (2, 16) and c["yidx"].dtype == np.int32
+    assert c["is_real"].shape == (2, 16) and c["is_real"].dtype == np.float32
+    # position-addressed reproducibility
+    again = list(loader.epoch(0))
+    np.testing.assert_array_equal(chunks[0]["yidx"], again[0]["yidx"])
+
+
+def test_train_ratio_cli_fused_smoke(tmp_path, monkeypatch):
+    """--fused_steps on the ratio trainer: index loader + fused step +
+    checkpoint save."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("RGMF_SYNTH_N", "256")
+    from ratio_guided_multimodal_fm_tpu.cli import train_ratio
+    from ratio_guided_multimodal_fm_tpu.models.ratio import (
+        FlexibleRatioEstimator,
+    )
+
+    monkeypatch.setattr(
+        train_ratio, "RatioEstimatorMNIST",
+        lambda loss_type="disc": FlexibleRatioEstimator(
+            feature_dim=16, hidden_dim=32, loss_type=loss_type))
+    train_ratio.main(["--epochs", "1", "--batch_size", "32",
+                      "--fused_steps", "2", "--device", "cpu"])
+    assert os.path.isdir(os.path.join(
+        tmp_path, "checkpoints", "ratio_disc_rotate90_best"))
