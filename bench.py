@@ -321,6 +321,49 @@ def run_tpu_bench() -> dict:
     details["train_steps_per_sec"]["ratio_mnist_svhn_B128"] = round(
         _train_rate(ratio_step, ratio_state,
                     lambda i: (xr, yr, ir, jax.random.PRNGKey(200 + i))), 1)
+
+    # Fused ratio trainer (make_ratio_train_multistep), same K-sweep
+    # rationale as the FM fused block above.
+    from ratio_guided_multimodal_fm_tpu.train.steps import (
+        make_ratio_train_multistep,
+    )
+
+    xr_all = jax.random.normal(kb, (4096, 32, 32, 1), jnp.float32)
+    yr_all = jax.random.normal(kb, (4096, 32, 32, 3), jnp.float32)
+    fused_ratio = {}
+    for K in (4, 16):
+        rstep = make_ratio_train_multistep(ratio, "disc",
+                                           has_batch_stats=True)
+        rstate = create_ratio_state(ratio, jax.random.PRNGKey(13),
+                                    (32, 32, 1), (32, 32, 3), lr=1e-4,
+                                    has_batch_stats=True)
+
+        def _ridx(i, _k=K):
+            k1 = jax.random.PRNGKey(3000 + 37 * i + _k)
+            xi = jax.random.randint(k1, (_k, 128), 0, 4096, jnp.int32)
+            yi = jax.random.randint(jax.random.fold_in(k1, 1),
+                                    (_k, 128), 0, 4096, jnp.int32)
+            irm = (jax.random.uniform(jax.random.fold_in(k1, 2),
+                                      (_k, 128)) < 0.5).astype(jnp.float32)
+            return xi, yi, irm
+
+        macro_reps = max(1, 64 // K)
+        st = rstate
+        for w in range(2):
+            xi, yi, irm = _ridx(w)
+            st, m = rstep(st, xr_all, yr_all, xi, yi, irm,
+                          jax.random.PRNGKey(w))
+            _sync((m["loss"][None],))
+        t0 = time.perf_counter()
+        for i in range(macro_reps):
+            xi, yi, irm = _ridx(2 + i)
+            st, m = rstep(st, xr_all, yr_all, xi, yi, irm,
+                          jax.random.PRNGKey(2 + i))
+        _sync((m["loss"][None],))
+        fused_ratio[f"K={K}"] = round(
+            K * macro_reps / (time.perf_counter() - t0), 1)
+    details["train_steps_per_sec"]["ratio_mnist_svhn_B128_fused"] = (
+        fused_ratio)
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             bl = json.load(f)
