@@ -64,6 +64,11 @@ def main(argv=None):
                                                            add_smc_flags)
     add_ema_flag(parser)
     add_smc_flags(parser)
+    # Exp-2 SMC knee differs from exp-1's: the BatchNorm ratio net's
+    # per-pair signal is noisier, and smaller islands + harder selection
+    # recover it — 0.705/0.736 at γ=2/5 vs 0.621/0.697 at the exp-1
+    # defaults (ROUND5.md §3, exp2_smc_g8tau07.json).
+    parser.set_defaults(smc_group=8, smc_resample_tau=0.7)
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples")
     parser.add_argument("--grad_strength", type=float, default=None,

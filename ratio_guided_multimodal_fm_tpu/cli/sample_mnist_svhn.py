@@ -103,6 +103,9 @@ def main(argv=None):
                                                            add_smc_flags)
     add_ema_flag(parser)
     add_smc_flags(parser)
+    # Measured exp-2 SMC knee: island-8 + tau-0.7 (ROUND5.md §3 — the
+    # BatchNorm ratio net wants harder, smaller-scoped selection).
+    parser.set_defaults(smc_group=8, smc_resample_tau=0.7)
     parser.add_argument("--ratio_clip", type=float, default=None,
                         help="Clip |log ratio| of MC samples")
     parser.add_argument("--mc_refresh", type=int, default=1,
