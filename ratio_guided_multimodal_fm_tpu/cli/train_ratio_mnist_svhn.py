@@ -58,6 +58,8 @@ def main(argv=None):
                         help="Preemption-safe training: on SIGTERM, save a "
                              "step-granular resumable checkpoint here and "
                              "exit; if it exists at startup, resume from it")
+    from ratio_guided_multimodal_fm_tpu.cli.common import add_fused_flag
+    add_fused_flag(parser)
     add_common_flags(parser)
     args = parser.parse_args(argv)
 
@@ -110,14 +112,43 @@ def main(argv=None):
             {"params": s.params, "batch_stats": s.batch_stats},
             async_save=True)
 
-    from ratio_guided_multimodal_fm_tpu.cli.common import multihost_adapt
-    state, step_fn, extract = multihost_adapt(
-        state, lambda s, b, k: step(s, b["x"], b["y"], b["is_real"], k),
-        batch_to_jnp)
+    if args.fused_steps > 1:
+        # Fused K-step dispatch (see train_ratio.py's branch): the v5e
+        # bench measured this net's 2-8 ms steps tunnel-latency-bound —
+        # K=16 lifts 131 -> 442 optimizer steps/s (bench_details.json).
+        if jax.process_count() > 1:
+            raise SystemExit("--fused_steps > 1 is single-process only "
+                             "(multi-process DP shards host batches)")
+        from ratio_guided_multimodal_fm_tpu.data.mnist_svhn import (
+            get_mnist_svhn_ratio_index_loader,
+        )
+        from ratio_guided_multimodal_fm_tpu.train.steps import (
+            make_ratio_train_multistep,
+        )
+        x_all, y_all, loader = get_mnist_svhn_ratio_index_loader(
+            batch_size=args.batch_size, fused_steps=args.fused_steps,
+            real_fake_ratio=args.real_fake_ratio, root=args.data_root,
+            seed=args.seed)
+        fused = make_ratio_train_multistep(model, args.loss_type,
+                                           has_batch_stats=True,
+                                           ema_decay=args.ema_decay)
+
+        def step_fn(s, b, k, _f=fused, _x=x_all, _y=y_all):
+            return _f(s, _x, _y, b["xidx"], b["yidx"], b["is_real"], k)
+
+        print(f"Fused dispatch: {args.fused_steps} steps/program, "
+              f"{len(loader)} programs/epoch (epoch logs count programs)")
+        data_iter = epoch_data_iter(loader)
+    else:
+        from ratio_guided_multimodal_fm_tpu.cli.common import multihost_adapt
+        state, step_fn, extract = multihost_adapt(
+            state, lambda s, b, k: step(s, b["x"], b["y"], b["is_real"], k),
+            batch_to_jnp)
+        data_iter = epoch_data_iter(loader, extract)
 
     _, _, history = train_epochs(
         state, step_fn,
-        epoch_data_iter(loader, extract), args.epochs, rng,
+        data_iter, args.epochs, rng,
         loss_key="loss",
         save_best_fn=save_best, save_periodic_fn=save_periodic,
         save_every=10, patience=5,

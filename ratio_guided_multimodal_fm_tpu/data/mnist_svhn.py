@@ -75,6 +75,46 @@ def get_mnist_svhn_ratio_dataloader(batch_size: int = 128,
     return _EpochLoader(make_iter, n_batches, seed)
 
 
+def get_mnist_svhn_ratio_index_loader(batch_size: int = 128,
+                                      fused_steps: int = 1,
+                                      real_fake_ratio: float = 0.5,
+                                      train: bool = True,
+                                      root: str = "./data", seed: int = 0):
+    """Fused-trainer twin of `get_mnist_svhn_ratio_dataloader`: returns
+    (x_all, y_all, loader) where x_all/y_all are the device-cached full
+    modality arrays and the loader yields
+    {'xidx': [K,B], 'yidx': [K,B], 'is_real': [K,B]} chunks for
+    `train/steps.py:make_ratio_train_multistep`. Pairing semantics are
+    `pipeline.ratio_batches` exactly (same-label real partner,
+    different-label fake, Bernoulli per item — ref
+    mnist_svhn_dataset.py:108-170); only the gathers move on-device.
+    Mirrors mnist_dataset.py:get_ratio_index_loader for experiment 1."""
+    x, xl = _mnist32(root, train)
+    y, yl = _svhn(root, train)
+    pairing = Pairing(yl)
+    k, b = int(fused_steps), int(batch_size)
+    n_chunks = len(xl) // (k * b)
+
+    def make_iter(rng):
+        order = rng.permutation(len(xl)) if train else np.arange(len(xl))
+        for c in range(n_chunks):
+            idx = order[c * k * b:(c + 1) * k * b]
+            lbl = xl[idx]
+            is_real = rng.rand(k * b) < real_fake_ratio
+            y_same = pairing.same_label(lbl, rng)
+            y_diff, _ = pairing.different_label(lbl, rng)
+            y_idx = np.where(is_real, y_same, y_diff)
+            yield {
+                "xidx": np.ascontiguousarray(
+                    idx.reshape(k, b).astype(np.int32)),
+                "yidx": np.ascontiguousarray(
+                    y_idx.reshape(k, b).astype(np.int32)),
+                "is_real": is_real.reshape(k, b).astype(np.float32),
+            }
+
+    return x, y, _EpochLoader(make_iter, n_chunks, seed)
+
+
 def get_svhn_flow_dataloader(batch_size: int = 128, train: bool = True,
                              root: str = "./data", seed: int = 0,
                              **_ignored) -> _EpochLoader:

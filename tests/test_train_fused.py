@@ -249,3 +249,48 @@ def test_train_ratio_cli_fused_smoke(tmp_path, monkeypatch):
                       "--fused_steps", "2", "--device", "cpu"])
     assert os.path.isdir(os.path.join(
         tmp_path, "checkpoints", "ratio_disc_rotate90_best"))
+
+
+def test_mnist_svhn_ratio_index_loader_contract():
+    from ratio_guided_multimodal_fm_tpu.data.mnist_svhn import (
+        get_mnist_svhn_ratio_index_loader,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        os.environ["RGMF_SYNTH_N"] = "256"
+        try:
+            x_all, y_all, loader = get_mnist_svhn_ratio_index_loader(
+                batch_size=16, fused_steps=2, root=root, seed=3)
+        finally:
+            os.environ.pop("RGMF_SYNTH_N", None)
+    assert x_all.shape[1:] == (32, 32, 1) and y_all.shape[1:] == (32, 32, 3)
+    chunks = list(loader.epoch(0))
+    assert len(chunks) == len(x_all) // 32
+    c = chunks[0]
+    assert c["xidx"].shape == (2, 16) and c["xidx"].dtype == np.int32
+    assert c["yidx"].shape == (2, 16) and c["yidx"].dtype == np.int32
+    assert c["is_real"].shape == (2, 16) and c["is_real"].dtype == np.float32
+    # position-addressed reproducibility
+    again = list(loader.epoch(0))
+    np.testing.assert_array_equal(chunks[0]["yidx"], again[0]["yidx"])
+
+
+def test_train_ratio_mnist_svhn_cli_fused_smoke(tmp_path, monkeypatch):
+    """--fused_steps on the exp-2 (BatchNorm) ratio trainer: index loader
+    + fused step threading batch_stats + checkpoint save."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("RGMF_SYNTH_N", "256")
+    from ratio_guided_multimodal_fm_tpu.cli import train_ratio_mnist_svhn
+    from ratio_guided_multimodal_fm_tpu.models.ratio import (
+        RatioEstimatorMNISTSVHN,
+    )
+
+    monkeypatch.setattr(
+        train_ratio_mnist_svhn, "RatioEstimatorMNISTSVHN",
+        lambda loss_type="disc": RatioEstimatorMNISTSVHN(
+            feature_dim=16, hidden_dim=32, loss_type=loss_type))
+    train_ratio_mnist_svhn.main(["--epochs", "1", "--batch_size", "32",
+                                 "--fused_steps", "2", "--device", "cpu"])
+    assert os.path.isdir(os.path.join(
+        tmp_path, "checkpoints", "ratio_disc_mnist_svhn_best"))
