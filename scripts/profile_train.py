@@ -99,12 +99,48 @@ def chain_grad(model, B):
     return jax.jit(run)
 
 
+def chain_fwd_variant(model, variant):
+    """fwd-loss timing variants isolating the non-conv costs:
+    'train'  = dropout on + interpolate RNG (the real loss fwd)
+    'det'    = dropout OFF, interpolate RNG kept
+    'pure'   = no RNG at all: fixed x_t, t — the sampler's regime."""
+
+    def run(params, x1, key0):
+        def body(s, i):
+            k = jax.random.fold_in(key0, i)
+            x = x1 * (1.0 + s * 1e-12)
+            if variant == "pure":
+                t = jnp.full((x.shape[0],), 0.5, jnp.float32)
+                v = model.apply({"params": params}, x, t,
+                                deterministic=True)
+                l = jnp.mean(v.astype(jnp.float32) ** 2)
+            else:
+                kt, kn, kd = jax.random.split(k, 3)
+                t = jax.random.uniform(kt, (x.shape[0],), jnp.float32)
+                x_t, u = interpolate(kn, x, t)
+                if variant == "det":
+                    v = model.apply({"params": params}, x_t, t,
+                                    deterministic=True)
+                else:
+                    v = model.apply({"params": params}, x_t, t,
+                                    deterministic=False,
+                                    rngs={"dropout": kd})
+                l = jnp.mean(
+                    (v.astype(jnp.float32) - u.astype(jnp.float32)) ** 2)
+            return l.astype(jnp.float32), ()
+        s, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K))
+        return s
+    return jax.jit(run)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="docs/results_r5/profile_train.json")
     ap.add_argument("--trace_dir", default="/tmp/r5_train_trace")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes / short chains (CPU correctness run)")
+    ap.add_argument("--variants_only", action="store_true",
+                    help="run only the fwd-variant sweep (fast follow-up)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
                          "ignores JAX_PLATFORMS env; backends init lazily "
@@ -124,7 +160,8 @@ def main():
 
     st = create_fm_state(model, jax.random.PRNGKey(12), (32, 32, 3), lr=1e-4)
     phases = {}
-    for B in ((8,) if args.smoke else (128, 512)):
+    for B in (() if args.variants_only else
+              (8,) if args.smoke else (128, 512)):
         x1 = jax.random.normal(key, (B, 32, 32, 3), jnp.float32)
         F = svhn_unet_flops(B)
         t_f = _time(chain_fwd(model, B), st.params, x1,
@@ -143,6 +180,25 @@ def main():
         phases[f"B={B}"] = row
         print(B, row, flush=True)
     out["phases"] = phases
+
+    # fwd variants at B=128: where do the fwd's missing MFU points go?
+    B = 8 if args.smoke else 128
+    x1 = jax.random.normal(key, (B, 32, 32, 3), jnp.float32)
+    F = svhn_unet_flops(B)
+    variants = {}
+    for v in ("train", "det", "pure"):
+        t_v = _time(chain_fwd_variant(model, v), st.params, x1,
+                    jax.random.PRNGKey(9)) / K
+        variants[v] = {"ms": round(t_v * 1e3, 3),
+                       "mfu_pct": round(100 * F / t_v / PEAK_FLOPS_BF16, 2)}
+        print("fwd variant", v, variants[v], flush=True)
+    out["fwd_variants_B128"] = variants
+    if args.variants_only:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print("wrote", args.out)
+        return
 
     # full fused step (grad + adam + loss logging) at B=128, K steps/program
     B = 8 if args.smoke else 128
