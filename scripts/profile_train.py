@@ -186,9 +186,16 @@ def main():
     x1 = jax.random.normal(key, (B, 32, 32, 3), jnp.float32)
     F = svhn_unet_flops(B)
     variants = {}
-    for v in ("train", "det", "pure"):
-        t_v = _time(chain_fwd_variant(model, v), st.params, x1,
-                    jax.random.PRNGKey(9)) / K
+    for v in ("train", "det", "pure", "train_rbg"):
+        # 'train_rbg': same dropout-on loss, but the key (hence every
+        # split/fold_in/dropout mask) uses the XLA RngBitGenerator PRNG
+        # instead of threefry — the candidate fix if dropout RNG is the
+        # fwd-MFU tax.
+        impl = "rbg" if v == "train_rbg" else None
+        k0 = (jax.random.key(9, impl="rbg") if impl
+              else jax.random.PRNGKey(9))
+        body = "train" if v == "train_rbg" else v
+        t_v = _time(chain_fwd_variant(model, body), st.params, x1, k0) / K
         variants[v] = {"ms": round(t_v * 1e3, 3),
                        "mfu_pct": round(100 * F / t_v / PEAK_FLOPS_BF16, 2)}
         print("fwd variant", v, variants[v], flush=True)
