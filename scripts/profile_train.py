@@ -199,6 +199,15 @@ def main():
         variants[v] = {"ms": round(t_v * 1e3, 3),
                        "mfu_pct": round(100 * F / t_v / PEAK_FLOPS_BF16, 2)}
         print("fwd variant", v, variants[v], flush=True)
+    # grad with each key family: does the backward carry the RNG tax too
+    # (XLA remats threefry masks in bwd) or are masks saved?
+    for v, k0 in (("grad", jax.random.PRNGKey(9)),
+                  ("grad_rbg", jax.random.key(9, impl="rbg"))):
+        t_v = _time(chain_grad(model, B), st.params, x1, k0) / K
+        variants[v] = {"ms": round(t_v * 1e3, 3),
+                       "mfu_pct": round(
+                           100 * 3 * F / t_v / PEAK_FLOPS_BF16, 2)}
+        print("fwd variant", v, variants[v], flush=True)
     out["fwd_variants_B128"] = variants
     if args.variants_only:
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
