@@ -271,6 +271,19 @@ def run_tpu_bench() -> dict:
     details["train_fm_mfu_pct"] = round(
         100.0 * 3.0 * svhn_unet_flops(128) * rate / PEAK_FLOPS_BF16, 2)
 
+    # --fast_rng (rbg keys): dropout's threefry masks cost 2.2 ms of the
+    # 5.4 ms fwd AND are rematerialized in the backward (grad 14.7 ->
+    # 10.0 ms measured, docs/results_r5/profile_train_variants.json);
+    # the same step with RngBitGenerator keys is the shipped fix.
+    rate_rbg = _train_rate(
+        fm_step, create_fm_state(fm_s, jax.random.PRNGKey(12),
+                                 (32, 32, 3), lr=1e-4),
+        lambda i: (xb, jax.random.key(100 + i, impl="rbg")))
+    details["train_steps_per_sec"]["fm_svhn_B128_fast_rng"] = round(
+        rate_rbg, 1)
+    details["train_fm_mfu_fast_rng_pct"] = round(
+        100.0 * 3.0 * svhn_unet_flops(128) * rate_rbg / PEAK_FLOPS_BF16, 2)
+
     # Fused K-step dispatch (train/steps.py:make_fm_train_multistep):
     # K optimizer steps per XLA program over a device-resident dataset.
     # The rate-vs-K curve IS the dispatch-floor quantification the r4

@@ -54,6 +54,8 @@ def main(argv=None):
                              "sample/evaluate CLIs")
     from ratio_guided_multimodal_fm_tpu.cli.common import add_fused_flag
     add_fused_flag(parser)
+    from ratio_guided_multimodal_fm_tpu.cli.common import add_fast_rng_flag
+    add_fast_rng_flag(parser)
     parser.add_argument("--metrics_dir", type=str, default=None,
                         help="Write JSONL epoch metrics here (observability)")
     parser.add_argument("--profile_dir", type=str, default=None,

@@ -174,6 +174,8 @@ def main(argv=None):
                              "exit; if it exists at startup, resume from it")
     from ratio_guided_multimodal_fm_tpu.cli.common import add_fused_flag
     add_fused_flag(parser)
+    from ratio_guided_multimodal_fm_tpu.cli.common import add_fast_rng_flag
+    add_fast_rng_flag(parser)
     add_common_flags(parser)
     args = parser.parse_args(argv)
 

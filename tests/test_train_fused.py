@@ -294,3 +294,28 @@ def test_train_ratio_mnist_svhn_cli_fused_smoke(tmp_path, monkeypatch):
                                  "--fused_steps", "2", "--device", "cpu"])
     assert os.path.isdir(os.path.join(
         tmp_path, "checkpoints", "ratio_disc_mnist_svhn_best"))
+
+
+def test_train_flow_cli_fast_rng_smoke(tmp_path, monkeypatch):
+    """--fast_rng: rbg PRNG for dropout/noise (measured 5.35 -> 3.42 ms
+    fwd at B=128 on the v5e, profile_train_variants.json). Trains and
+    checkpoints; config restored afterwards (it is process-global)."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("RGMF_SYNTH_N", "256")
+    from ratio_guided_multimodal_fm_tpu.cli import train_flow
+
+    monkeypatch.setattr(
+        train_flow, "fm_model",
+        lambda kind: FlexibleUNet(in_channels=1, img_size=28,
+                                  model_channels=8, channel_mult=(1, 2),
+                                  num_res_blocks=1))
+    try:
+        train_flow.main(["--modality", "x", "--epochs", "1",
+                         "--batch_size", "32", "--fast_rng",
+                         "--device", "cpu"])
+        assert jax.random.PRNGKey(0).shape == (4,)   # rbg keys active
+        assert os.path.isdir(os.path.join(
+            tmp_path, "checkpoints", "flow_x_best"))
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+    assert jax.random.PRNGKey(0).shape == (2,)
