@@ -318,6 +318,26 @@ def run_tpu_bench() -> dict:
         fused_rates[f"K={K}"] = round(
             K * macro_reps / (time.perf_counter() - t0), 1)
     details["train_steps_per_sec"]["fm_svhn_B128_fused"] = fused_rates
+    # fused + fast_rng composed: the K-step scan pipelines the (now
+    # cheap) rbg mask generation across iterations — the chain_grad
+    # regime of profile_train_variants.json (10.0 ms/step grad).
+    fstep = make_fm_train_multistep(fm_s)
+    st = create_fm_state(fm_s, jax.random.PRNGKey(12), (32, 32, 3),
+                         lr=1e-4)
+    for w in range(2):
+        st, loss = fstep(st, ds_train, _idx(w, 16),
+                         jax.random.key(w, impl="rbg"))
+        _sync((loss[None],))
+    t0 = time.perf_counter()
+    for i in range(4):
+        st, loss = fstep(st, ds_train, _idx(2 + i, 16),
+                         jax.random.key(2 + i, impl="rbg"))
+    _sync((loss[None],))
+    rate_ffr = 64.0 / (time.perf_counter() - t0)
+    details["train_steps_per_sec"]["fm_svhn_B128_fused16_fast_rng"] = (
+        round(rate_ffr, 1))
+    details["train_fm_mfu_fused_fast_rng_pct"] = round(
+        100.0 * 3.0 * svhn_unet_flops(128) * rate_ffr / PEAK_FLOPS_BF16, 2)
     best_fused = max(fused_rates.values())
     details["train_fm_mfu_fused_pct"] = round(
         100.0 * 3.0 * svhn_unet_flops(128) * best_fused / PEAK_FLOPS_BF16, 2)
